@@ -1,0 +1,51 @@
+"""Static render configuration.
+
+The reference's knobs are scattered across compile-time constants
+(``include/PnRT.hpp:41-49``), GLSL uniforms (``MAX_BOUNCE_DEPTH``,
+``frameCount``, camera, ray_tracing.comp:85-97,195-199,496,859,974) and code
+edits (scene choice, main.cpp:357-359).  Here: one frozen dataclass passed as
+a static argument to ``jit`` — shapes and loop bounds derive from it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512  # SCREEN_WIDTH (PnRT.hpp:41)
+    height: int = 512  # SCREEN_HEIGHT (PnRT.hpp:42)
+    max_depth: int = 4  # MAX_BOUNCE_DEPTH in converged mode (main.cpp:572)
+    spp: int = 1  # samples/pixel per call (reference: 1 per frame)
+
+    # Traversal geometry.
+    stack_depth: int = 64  # reference uses 128 (ray_tracing.comp:431)
+    max_leaf_size: int = 4  # builder guarantees <= this many tris per leaf
+
+    # Sampler: 'sobol' uses Sobol + Cranley-Patterson rotation for the BRDF
+    # lobe sample like the reference (ray_tracing.comp:928-929); 'hash' uses
+    # pure counter-hash streams.
+    sampler: str = "sobol"
+    jitter_primary: bool = False  # reference casts pixel-corner rays only
+    # (ray_tracing.comp:980) — enable for antialiasing.
+
+    clamp_radiance: bool = True  # clamp color to [0,1] pre-accumulation
+    # (ray_tracing.comp:988); biased but reference-faithful.
+
+    # Reproduce reference quirks bit-for-bit where feasible (see SURVEY.md
+    # §3.3): material decode bug, GTR half-vector construction, tMax-ignoring
+    # AABB test, z-only axis permutation in the watertight test.
+    compat_pnrt: bool = False
+
+    # Environment light. Constant-color env when the scene has no HDR map.
+    env_scale: float = 1.0
+
+    def __post_init__(self):
+        assert self.sampler in ("sobol", "hash")
+        assert self.max_depth >= 1
+        assert self.stack_depth >= 2
+
+    @property
+    def num_pixels(self) -> int:
+        return self.width * self.height

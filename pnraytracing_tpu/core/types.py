@@ -1,0 +1,218 @@
+"""Scene data model: struct-of-arrays pytrees.
+
+The reference packs scene data into GL texel-fetch buffers with float-packing
+layouts (``include/PnRT.hpp:44-49``: VERTEX_SIZE=15, MATERIAL_SIZE=18,
+TRIANGLE_SIZE=6, BVHNODE_SIZE=12, LIGHT_SIZE=3).  On TPU the natural layout is
+a struct-of-arrays pytree: each field is its own densely-packed jnp array, XLA
+lays them out, and every field is independently differentiable (materials, env
+texels and vertex positions are gradient leaves).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Materials:
+    """Disney principled BRDF parameter set, one row per material.
+
+    Field-for-field the 18-float material record of the reference
+    (``include/PnRT.hpp:66-81``), as SoA arrays of shape [M] / [M, 3].
+    """
+
+    emissive: jnp.ndarray  # [M, 3]
+    base_color: jnp.ndarray  # [M, 3]
+    subsurface: jnp.ndarray  # [M]
+    metallic: jnp.ndarray  # [M]
+    specular: jnp.ndarray  # [M]
+    specular_tint: jnp.ndarray  # [M]
+    roughness: jnp.ndarray  # [M]
+    anisotropic: jnp.ndarray  # [M]
+    sheen: jnp.ndarray  # [M]
+    sheen_tint: jnp.ndarray  # [M]
+    clearcoat: jnp.ndarray  # [M]
+    clearcoat_gloss: jnp.ndarray  # [M]
+    ior: jnp.ndarray  # [M]
+    transmission: jnp.ndarray  # [M]
+
+    @property
+    def count(self) -> int:
+        return self.emissive.shape[0]
+
+    @classmethod
+    def stack(cls, mats: list[dict]) -> "Materials":
+        """Build from a list of per-material dicts (missing keys get the
+        reference defaults from PnRT.hpp:66-81)."""
+        defaults = dict(
+            emissive=(0.0, 0.0, 0.0),
+            base_color=(0.8, 0.8, 0.8),
+            subsurface=0.0,
+            metallic=0.0,
+            specular=0.0,
+            specular_tint=0.0,
+            roughness=0.5,
+            anisotropic=0.0,
+            sheen=0.0,
+            sheen_tint=0.0,
+            clearcoat=0.0,
+            clearcoat_gloss=0.0,
+            ior=1.0,
+            transmission=0.0,
+        )
+        fields = {}
+        for key, dval in defaults.items():
+            vals = [m.get(key, dval) for m in mats]
+            fields[key] = jnp.asarray(vals, dtype=jnp.float32)
+        return cls(**fields)
+
+    def gather(self, idx: jnp.ndarray) -> "Materials":
+        """Row-gather all fields (device-side material fetch, the analogue of
+        ``GetMaterial`` ray_tracing.comp:122-144)."""
+        import jax
+
+        return jax.tree_util.tree_map(lambda a: a[idx], self)
+
+
+@struct.dataclass
+class TriangleMesh:
+    """World-space flattened geometry.
+
+    The analogue of the reference's global ``vertices`` / ``triangles``
+    vectors after ``ModelOutput`` baked model matrices in
+    (``include/model.hpp:101-135``).
+    """
+
+    positions: jnp.ndarray  # [V, 3] f32
+    normals: jnp.ndarray  # [V, 3] f32 (zero rows = "no vertex normal")
+    tangents: jnp.ndarray  # [V, 3] f32
+    bitangents: jnp.ndarray  # [V, 3] f32
+    uvs: jnp.ndarray  # [V, 2] f32
+    indices: jnp.ndarray  # [T, 3] i32
+    material_id: jnp.ndarray  # [T] i32
+    texture_id: jnp.ndarray  # [T] i32 (-1 = untextured)
+    area: jnp.ndarray  # [T] f32
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    def tri_positions(self, tri_idx: jnp.ndarray):
+        """Gather the three corner positions of triangles ``tri_idx``:
+        returns (p0, p1, p2), each [..., 3]."""
+        idx = self.indices[tri_idx]  # [..., 3]
+        p = self.positions[idx]  # [..., 3, 3]
+        return p[..., 0, :], p[..., 1, :], p[..., 2, :]
+
+
+@struct.dataclass
+class BVH:
+    """Flat SAH BVH, depth-first layout.
+
+    Same node contract as the reference (``include/BVH.hpp:6-12``,
+    consumed by ray_tracing.comp:157-169): left child is implicit at
+    ``id + 1``; ``right_child == -1`` marks a leaf covering triangles
+    ``[start, end)``; ``axis`` is the split axis used for near-child-first
+    ordering.  Triangle arrays in the owning Scene are already reordered to
+    the BVH's leaf order.
+    """
+
+    node_min: jnp.ndarray  # [N, 3] f32
+    node_max: jnp.ndarray  # [N, 3] f32
+    axis: jnp.ndarray  # [N] i32
+    right_child: jnp.ndarray  # [N] i32 (-1 = leaf)
+    start: jnp.ndarray  # [N] i32
+    end: jnp.ndarray  # [N] i32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+@struct.dataclass
+class Lights:
+    """Emissive-triangle light list with prefix areas for O(log L)
+    area-proportional selection (``include/light.hpp``, main.cpp:374-383)."""
+
+    tri_index: jnp.ndarray  # [L] i32 indices into the (reordered) triangles
+    prefix_area: jnp.ndarray  # [L] f32 inclusive prefix sum of areas
+    total_area: jnp.ndarray  # [] f32
+
+    @property
+    def count(self) -> int:
+        return self.tri_index.shape[0]
+
+
+@struct.dataclass
+class EnvMap:
+    """Equirectangular HDR environment + sampling tables.
+
+    The reference builds marginal/conditional CDFs on the CPU and bakes an
+    *inverted* lookup texture (``include/shader.hpp:126-225``).  Here the CDFs
+    are kept as arrays and inverted on the fly with ``searchsorted`` —
+    vectorized, differentiable through the returned radiance/pdf values
+    (indices are integer, hence implicitly detached).
+    """
+
+    image: jnp.ndarray  # [H, W, 3] f32 radiance
+    pdf_xy: jnp.ndarray  # [W, H] f32 normalized 2-D probability mass
+    cdf_marginal_x: jnp.ndarray  # [W] f32
+    cdf_y_given_x: jnp.ndarray  # [W, H] f32
+
+    @property
+    def height(self) -> int:
+        return self.image.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.image.shape[1]
+
+
+@struct.dataclass
+class TextureAtlas:
+    """Stacked 2-D base-color textures.
+
+    The reference binds up to 20 GL samplers (main.cpp:527-554,
+    ray_tracing.comp:97).  Here all textures are padded to a common
+    resolution and stacked, so the fetch is one dynamic gather.
+    """
+
+    data: jnp.ndarray  # [K, H, W, 3] f32 in [0, 1]
+    sizes: jnp.ndarray  # [K, 2] i32 actual (width, height) per texture
+
+    @property
+    def count(self) -> int:
+        return self.data.shape[0]
+
+
+@struct.dataclass
+class Camera:
+    """Pinhole camera basis, the analogue of ``include/camera.hpp:11-31``.
+
+    Stores the ray-gen basis (eye, lower_left, horizontal, vertical) as
+    traced arrays so interactive camera motion never triggers a re-jit.
+    """
+
+    eye: jnp.ndarray  # [3]
+    lower_left: jnp.ndarray  # [3]
+    horizontal: jnp.ndarray  # [3]
+    vertical: jnp.ndarray  # [3]
+
+
+@struct.dataclass
+class Scene:
+    """Everything the integrator needs, as one pytree."""
+
+    mesh: TriangleMesh
+    materials: Materials
+    bvh: BVH
+    lights: Lights
+    env: Optional[EnvMap] = None
+    textures: Optional[TextureAtlas] = None

@@ -1,0 +1,237 @@
+"""Ray-triangle and ray-AABB intersection, vectorized.
+
+The watertight test is the PBRT-3 style algorithm the reference implements
+twice (CPU: ``include/triangle.hpp:15-181``, GLSL:
+``shaders/ray_tracing.comp:254-427``): translate to ray origin, permute axes
+so the dominant direction component is z, shear to +z, signed 2-D edge
+functions, mixed-sign rejection, scaled-t range test.  Here it is one
+branch-free jnp function over arbitrary batch shapes — the same code is the
+test oracle, the ``lax.while_loop`` traversal inner loop, and (inlined) the
+Pallas kernel body.
+
+Differences from the reference, controlled by ``compat``:
+  * default permutes to the dominant axis (true watertight behaviour); the
+    reference only swaps when ``dir.z == 0`` (triangle.hpp:34-47).
+  * default AABB test clips to ``[0, t_max]``; the reference's
+    ``BoundIntersect`` returns pure slab overlap ``t1 >= t0`` ignoring both
+    the ray interval and sign (bound.hpp:31-47, ray_tracing.comp:213-228) —
+    correct but visits extra nodes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from pnraytracing_tpu.core.math import FLOAT_MAX
+
+
+@struct.dataclass
+class Hit:
+    """Closest-hit record; attributes are recomputed differentiably from
+    (tri, bary) by the shading stage (path-replay style)."""
+
+    tri: jnp.ndarray  # [...] i32 triangle index, -1 = miss
+    t: jnp.ndarray  # [...] f32 ray parameter
+    b1: jnp.ndarray  # [...] f32 barycentric weight of vertex 1
+    b2: jnp.ndarray  # [...] f32 barycentric weight of vertex 2
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.tri >= 0
+
+    @property
+    def b0(self) -> jnp.ndarray:
+        return 1.0 - self.b1 - self.b2
+
+
+def _axis_permutation(d: jnp.ndarray, compat: bool):
+    """Choose (kx, ky, kz) per ray.  Default: kz = argmax |d| (watertight).
+    Compat: identity unless d.z == 0, then the reference's x/z or y/z swap
+    (triangle.hpp:34-47)."""
+    if compat:
+        ad = jnp.abs(d)
+        zx = ad[..., 0] > ad[..., 1]  # swap x<->z, order (z, y, x)
+        z_zero = d[..., 2] == 0.0
+        kx = jnp.where(z_zero, jnp.where(zx, 2, 0), 0)
+        ky = jnp.where(z_zero, jnp.where(zx, 1, 2), 1)
+        kz = jnp.where(z_zero, jnp.where(zx, 0, 1), 2)
+    else:
+        kz = jnp.argmax(jnp.abs(d), axis=-1)
+        kx = (kz + 1) % 3
+        ky = (kx + 1) % 3
+    return kx, ky, kz
+
+
+def _take3(v: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """v[..., k] with per-element k."""
+    return jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+
+
+def intersect_triangle(
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    p2: jnp.ndarray,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    compat: bool = False,
+):
+    """Watertight ray-triangle intersection.
+
+    All array arguments broadcast; returns (hit [...] bool, t, b1, b2).
+    Barycentrics satisfy x = b0*p0 + b1*p1 + b2*p2 with b0 = 1-b1-b2,
+    matching the edge-function association of the reference
+    (ray_tracing.comp:296-325).
+    """
+    kx, ky, kz = _axis_permutation(d, compat)
+
+    def perm(v):
+        return jnp.stack([_take3(v, kx), _take3(v, ky), _take3(v, kz)], axis=-1)
+
+    dp = perm(d)
+    a = perm(p0 - o)
+    b = perm(p1 - o)
+    c = perm(p2 - o)
+
+    inv_dz = 1.0 / dp[..., 2]
+    sx = dp[..., 0] * inv_dz
+    sy = dp[..., 1] * inv_dz
+    ax = a[..., 0] - a[..., 2] * sx
+    ay = a[..., 1] - a[..., 2] * sy
+    az = a[..., 2] * inv_dz
+    bx = b[..., 0] - b[..., 2] * sx
+    by = b[..., 1] - b[..., 2] * sy
+    bz = b[..., 2] * inv_dz
+    cx = c[..., 0] - c[..., 2] * sx
+    cy = c[..., 1] - c[..., 2] * sy
+    cz = c[..., 2] * inv_dz
+
+    e0 = bx * cy - by * cx
+    e1 = cx * ay - cy * ax
+    e2 = ax * by - ay * bx
+
+    any_neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    any_pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    mixed = any_neg & any_pos
+
+    det = e0 + e1 + e2
+    t_scaled = e0 * az + e1 * bz + e2 * cz
+    ok_pos = (det > 0) & (t_scaled > 0) & (t_scaled <= t_max * det)
+    ok_neg = (det < 0) & (t_scaled < 0) & (t_scaled >= t_max * det)
+    hit = (~mixed) & (det != 0) & (ok_pos | ok_neg)
+
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    t = t_scaled * inv_det
+    b1_ = e1 * inv_det
+    b2_ = e2 * inv_det
+    return hit, t, b1_, b2_
+
+
+def safe_inv_dir(d: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """1/d with zero components nudged to +-eps.  GLSL gets +-inf from
+    ``1.0 / ray.dir`` (ray_tracing.comp:214) and relies on IEEE semantics;
+    a finite clamp avoids 0*inf NaNs in the slab test on all backends."""
+    mag = jnp.maximum(jnp.abs(d), eps)
+    return jnp.where(d >= 0, 1.0, -1.0) / mag
+
+
+def intersect_aabb(
+    p_min: jnp.ndarray,
+    p_max: jnp.ndarray,
+    o: jnp.ndarray,
+    inv_d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    compat: bool = False,
+) -> jnp.ndarray:
+    """Slab test.  ``compat`` reproduces the reference's interval-free
+    ``t1 >= t0`` (ray_tracing.comp:213-228); default additionally clips to
+    the live ray segment [0, t_max] (a strict superset of misses, so images
+    are identical while traversal touches fewer nodes)."""
+    f = (p_max - o) * inv_d
+    n = (p_min - o) * inv_d
+    t1 = jnp.min(jnp.maximum(f, n), axis=-1)
+    t0 = jnp.max(jnp.minimum(f, n), axis=-1)
+    if compat:
+        return t1 >= t0
+    return (t1 >= jnp.maximum(t0, 0.0)) & (t0 <= t_max)
+
+
+def brute_force_closest_hit(
+    positions: jnp.ndarray,
+    indices: jnp.ndarray,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    compat: bool = False,
+    chunk: int = 4096,
+) -> Hit:
+    """All-pairs closest hit — the oracle the BVH path is tested against
+    (the reference author used the CPU mirror the same way, SURVEY.md §4).
+
+    positions [V,3], indices [T,3]; o, d [R,3]; returns Hit over [R].
+    Triangles are scanned in fixed chunks to bound peak memory at
+    R * chunk tests.
+    """
+    num_tris = int(indices.shape[0])
+    r = o.shape[0]
+    best = Hit(
+        tri=jnp.full((r,), -1, jnp.int32),
+        t=jnp.asarray(t_max, jnp.float32),
+        b1=jnp.zeros((r,), jnp.float32),
+        b2=jnp.zeros((r,), jnp.float32),
+    )
+    for lo in range(0, num_tris, chunk):
+        hi = min(lo + chunk, num_tris)
+        idx = indices[lo:hi]  # [C, 3]
+        p = positions[idx]  # [C, 3, 3]
+        hit, t, b1, b2 = intersect_triangle(
+            p[None, :, 0, :],
+            p[None, :, 1, :],
+            p[None, :, 2, :],
+            o[:, None, :],
+            d[:, None, :],
+            best.t[:, None],
+            compat=compat,
+        )  # [R, C]
+        t = jnp.where(hit, t, jnp.inf)
+        j = jnp.argmin(t, axis=1)  # earliest hit in chunk
+        rr = jnp.arange(r)
+        chunk_hit = hit[rr, j]
+        closer = chunk_hit & (t[rr, j] < best.t)
+        best = Hit(
+            tri=jnp.where(closer, jnp.int32(lo) + j.astype(jnp.int32), best.tri),
+            t=jnp.where(closer, t[rr, j], best.t),
+            b1=jnp.where(closer, b1[rr, j], best.b1),
+            b2=jnp.where(closer, b2[rr, j], best.b2),
+        )
+    return best
+
+
+def brute_force_any_hit(
+    positions: jnp.ndarray,
+    indices: jnp.ndarray,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    compat: bool = False,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Occlusion oracle: any triangle intersects the segment."""
+    num_tris = int(indices.shape[0])
+    occluded = jnp.zeros((o.shape[0],), bool)
+    for lo in range(0, num_tris, chunk):
+        hi = min(lo + chunk, num_tris)
+        idx = indices[lo:hi]
+        p = positions[idx]
+        hit, _, _, _ = intersect_triangle(
+            p[None, :, 0, :],
+            p[None, :, 1, :],
+            p[None, :, 2, :],
+            o[:, None, :],
+            d[:, None, :],
+            jnp.asarray(t_max, jnp.float32)[:, None],
+            compat=compat,
+        )
+        occluded = occluded | jnp.any(hit, axis=1)
+    return occluded
