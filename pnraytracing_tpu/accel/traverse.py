@@ -108,17 +108,21 @@ def closest_hit(
     o: jnp.ndarray,
     d: jnp.ndarray,
     t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
     *,
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
 ) -> Hit:
     """Closest-hit traversal over a ray batch (BVHIntersect,
-    ray_tracing.comp:429-461).  o, d: [R, 3]; t_max: [R]."""
+    ray_tracing.comp:429-461).  o, d: [R, 3]; t_max: [R].
+    mask: optional [R] bool; False rays skip traversal entirely."""
     r, arange, inv_d = _prepare(o, d)
 
     stack = jnp.zeros((r, stack_depth), jnp.int32)
     top = jnp.ones((r,), jnp.int32)  # root pushed
+    if mask is not None:
+        top = jnp.where(mask, top, 0)
     hit0 = Hit(
         tri=jnp.full((r,), -1, jnp.int32),
         t=jnp.asarray(t_max, jnp.float32),
@@ -178,6 +182,7 @@ def any_hit(
     o: jnp.ndarray,
     d: jnp.ndarray,
     t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
     *,
     stack_depth: int = 64,
     max_leaf_size: int = 4,
@@ -185,12 +190,15 @@ def any_hit(
 ) -> jnp.ndarray:
     """Occlusion traversal with per-ray early exit (BVHIntersectP,
     ray_tracing.comp:464-494): a ray's stack is cleared the moment any
-    triangle hit is found.  Returns [R] bool."""
+    triangle hit is found.  Returns [R] bool.
+    mask: optional [R] bool; False rays skip traversal and report False."""
     r, arange, inv_d = _prepare(o, d)
     t_max = jnp.asarray(t_max, jnp.float32)
 
     stack = jnp.zeros((r, stack_depth), jnp.int32)
     top = jnp.ones((r,), jnp.int32)
+    if mask is not None:
+        top = jnp.where(mask, top, 0)
     occluded0 = jnp.zeros((r,), bool)
 
     def cond(state):

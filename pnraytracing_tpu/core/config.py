@@ -23,6 +23,10 @@ class RenderConfig:
     stack_depth: int = 64  # reference uses 128 (ray_tracing.comp:431)
     max_leaf_size: int = 4  # builder guarantees <= this many tris per leaf
 
+    # Rays processed per device dispatch; frames larger than this render in
+    # sequential tiles to bound live-state memory (stacks, path state).
+    tile_pixels: int = 1 << 18
+
     # Sampler: 'sobol' uses Sobol + Cranley-Patterson rotation for the BRDF
     # lobe sample like the reference (ray_tracing.comp:928-929); 'hash' uses
     # pure counter-hash streams.

@@ -216,3 +216,7 @@ class Scene:
     lights: Lights
     env: Optional[EnvMap] = None
     textures: Optional[TextureAtlas] = None
+    # Constant-radiance environment used when no HDR map is present (the
+    # reference renders black on miss without an HDR; BASELINE.json config 1
+    # needs a constant env light).
+    env_constant: Optional[jnp.ndarray] = None  # [3]

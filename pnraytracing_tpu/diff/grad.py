@@ -1,0 +1,176 @@
+"""Differentiable rendering: parameter plumbing, losses, optimization steps.
+
+The reference has no gradients (SURVEY.md §2.3); this module is the TPU
+build's headline extension: pixel gradients flow to **material parameters**,
+**environment texels** and **vertex positions** through the path-replay
+construction in the integrator (traversal detached, shading re-derived
+differentiably — see ``render_rays``/``make_interaction``).
+
+Design: optimization targets live in a plain dict pytree (``params``) that
+is grafted onto a scene template per evaluation, so ``jax.grad`` sees only
+the tensors being optimized:
+
+* ``"materials"``  -> full Materials pytree
+* ``"env_image"``  -> [H, W, 3] env radiance (CDF tables rebuilt in-graph,
+  so importance sampling stays consistent with the optimized texels)
+* ``"positions"``  -> [V, 3] vertex positions.  NOTE: the BVH is built for
+  the template's geometry; gradients are exact for infinitesimal motion but
+  after an optimizer step call :func:`refit_scene` to keep traversal
+  correct.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+
+from pnraytracing_tpu.core.config import RenderConfig
+from pnraytracing_tpu.core.types import Camera, Scene
+from pnraytracing_tpu.ops.envmap import build_envmap
+from pnraytracing_tpu.render.integrator import render_rays
+
+PARAM_KEYS = ("materials", "env_image", "positions")
+
+
+def extract_params(scene: Scene, keys: Iterable[str]) -> dict:
+    """Pull the requested optimization targets out of a scene."""
+    params = {}
+    for k in keys:
+        if k == "materials":
+            params[k] = scene.materials
+        elif k == "env_image":
+            assert scene.env is not None, "scene has no environment map"
+            params[k] = scene.env.image
+        elif k == "positions":
+            params[k] = scene.mesh.positions
+        else:
+            raise KeyError(f"unknown param key {k!r}; choose from {PARAM_KEYS}")
+    return params
+
+
+def apply_params(scene: Scene, params: dict) -> Scene:
+    """Graft an optimization-parameter pytree back onto a scene template."""
+    if "materials" in params:
+        scene = scene.replace(materials=params["materials"])
+    if "env_image" in params:
+        scene = scene.replace(env=build_envmap(params["env_image"]))
+    if "positions" in params:
+        scene = scene.replace(mesh=scene.mesh.replace(positions=params["positions"]))
+    return scene
+
+
+def refit_scene(scene: Scene, max_leaf_size: int = 4) -> Scene:
+    """Rebuild the BVH for the scene's current vertex positions (host-side;
+    call after optimizer steps that move geometry).  Leaf order is preserved
+    when possible by rebuilding from the already-reordered triangles."""
+    import numpy as np
+
+    from pnraytracing_tpu.accel.bvh import build_bvh
+    from pnraytracing_tpu.core.types import BVH
+
+    try:
+        from pnraytracing_tpu.accel.native import build_bvh_native, native_available
+
+        builder = build_bvh_native if native_available() else build_bvh
+    except ImportError:
+        builder = build_bvh
+    positions = np.asarray(scene.mesh.positions)
+    indices = np.asarray(scene.mesh.indices)
+    built = builder(positions, indices, max_leaf_size=max_leaf_size)
+    order = built.order
+    mesh = scene.mesh.replace(
+        indices=jnp.asarray(indices[order]),
+        material_id=scene.mesh.material_id[jnp.asarray(order)],
+        texture_id=scene.mesh.texture_id[jnp.asarray(order)],
+        area=scene.mesh.area[jnp.asarray(order)],
+    )
+    # remap light triangle indices through the new order
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order), dtype=order.dtype)
+    lights = scene.lights.replace(
+        tri_index=jnp.asarray(inv[np.asarray(scene.lights.tri_index)])
+    )
+    bvh = BVH(
+        node_min=jnp.asarray(built.node_min),
+        node_max=jnp.asarray(built.node_max),
+        axis=jnp.asarray(built.axis),
+        right_child=jnp.asarray(built.right_child),
+        start=jnp.asarray(built.start),
+        end=jnp.asarray(built.end),
+    )
+    return scene.replace(mesh=mesh, bvh=bvh, lights=lights)
+
+
+def render_image_from_params(
+    params: dict,
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """[R, 3] radiance with ``params`` grafted in — the differentiable
+    forward pass."""
+    return render_rays(apply_params(scene, params), o, d, px, py, frame, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def loss_and_grad(
+    params: dict,
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+):
+    """MSE against a target ray-color batch and its gradient w.r.t. params."""
+
+    def f(p):
+        img = render_image_from_params(p, scene, o, d, px, py, frame, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(f)(params)
+
+
+def adam_optimize(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    target_image: jnp.ndarray,
+    keys: Iterable[str] = ("materials",),
+    steps: int = 32,
+    lr: float = 2e-2,
+    frame_offset: int = 0,
+):
+    """Small self-contained inverse-rendering loop (BASELINE config 5's
+    "differentiable material/env optimization").  Returns (optimized scene,
+    loss history)."""
+    import optax
+
+    from pnraytracing_tpu.core.camera import camera_rays
+    from pnraytracing_tpu.render.renderer import pixel_coords
+
+    params = extract_params(scene, keys)
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+    px, py = pixel_coords(cfg)
+    o, d, _ = camera_rays(camera, cfg.width, cfg.height)
+    target = jnp.asarray(target_image, jnp.float32).reshape(-1, 3)
+
+    losses = []
+    for step in range(steps):
+        loss, grads = loss_and_grad(
+            params, scene, o, d, px, py, jnp.uint32(frame_offset + step), target, cfg
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(loss))
+    return apply_params(scene, params), losses

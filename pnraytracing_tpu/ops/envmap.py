@@ -1,0 +1,146 @@
+"""Equirectangular HDR environment light: lookup + importance sampling.
+
+The reference builds the luminance CDFs on the CPU and *pre-inverts* them
+into a lookup texture so the shader samples in O(1)
+(``LoadHDRImage``, include/shader.hpp:126-225; device side
+``SampleHDRImage``, ray_tracing.comp:560-576).  Here the marginal/conditional
+CDFs stay as arrays and are inverted at sample time with ``searchsorted`` —
+O(log W + log H), fully vectorized, and differentiable w.r.t. the environment
+texels through the returned radiance and pdf values (the integer table
+indices are implicitly detached).
+
+Conventions: ``image[0]`` is the top row (+y pole).  Direction mapping
+matches ``toSphericalCoord`` (comp:181-188): u = atan2(z,x)/2pi + 0.5,
+v = 0.5 - asin(y)/pi.
+
+Compat quirks (``compat=True``, SURVEY.md §3.3):
+* solid-angle conversion uses ``(W*H/2) / (2 pi^2 sin(theta_elev))`` with the
+  *elevation* sine clamped at 1e-10 (comp:572-574) — half the true density
+  and effectively disabling lower-hemisphere NEE;
+* the radiance fetched for an NEE sample comes from the vertically mirrored
+  row of the one whose pdf was computed (the ``param.y`` flip at comp:563
+  is applied before the HDRImage fetch at comp:575).
+Default mode uses the exact pdf of the sampling procedure
+(``p_xy * W * H / (2 pi^2 cos(theta_elev))``) and the matching texel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pnraytracing_tpu.core.math import PI, TWO_PI, hdr_luminance, spherical_uv
+from pnraytracing_tpu.core.types import EnvMap
+
+_POLE_EPS = 1e-6
+
+
+def build_envmap(image: jnp.ndarray) -> EnvMap:
+    """Build sampling tables from an [H, W, 3] radiance image
+    (shader.hpp:145-181, minus the inversion bake)."""
+    image = jnp.asarray(image, jnp.float32)
+    lum = hdr_luminance(image)  # [H, W]
+    pdf_xy = lum.T  # [W, H] — reference's pdf[x][y] layout
+    total = jnp.maximum(jnp.sum(pdf_xy), 1e-20)
+    pdf_xy = pdf_xy / total
+    pdf_marginal_x = jnp.sum(pdf_xy, axis=1)  # [W]
+    cdf_marginal_x = jnp.cumsum(pdf_marginal_x)
+    cond = pdf_xy / jnp.maximum(pdf_marginal_x[:, None], 1e-20)
+    cdf_y_given_x = jnp.cumsum(cond, axis=1)
+    return EnvMap(
+        image=image,
+        pdf_xy=pdf_xy,
+        cdf_marginal_x=cdf_marginal_x,
+        cdf_y_given_x=cdf_y_given_x,
+    )
+
+
+def _grid_direction(u: jnp.ndarray, v: jnp.ndarray):
+    """(u, v) in [0,1]^2 -> unit direction (comp:566-568)."""
+    phi = TWO_PI * (u - 0.5)
+    theta = PI * (0.5 - v)  # elevation; v=0 -> +pi/2 (up)
+    cos_t = jnp.cos(theta)
+    return jnp.stack(
+        [cos_t * jnp.cos(phi), jnp.sin(theta), cos_t * jnp.sin(phi)], axis=-1
+    ), theta
+
+
+def sample_envmap(env: EnvMap, u1: jnp.ndarray, u2: jnp.ndarray, compat: bool = False):
+    """Importance-sample the environment (SampleHDRImage, comp:560-576).
+
+    u1, u2: [R] uniforms.  Returns (dir [R,3], radiance [R,3], pdf [R]).
+    """
+    w, h = env.width, env.height
+    x = jnp.clip(
+        jnp.searchsorted(env.cdf_marginal_x, u1, side="left"), 0, w - 1
+    ).astype(jnp.int32)
+    rows = env.cdf_y_given_x[x]  # [R, H]
+    y = jnp.clip(
+        jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))(rows, u2),
+        0,
+        h - 1,
+    ).astype(jnp.int32)
+
+    p2d = env.pdf_xy[x, y]  # [R]
+    if compat:
+        u = x.astype(jnp.float32) / w
+        v = y.astype(jnp.float32) / h
+        # reference: theta = pi*(param.y - 0.5) with param.y = 1 - y/h,
+        # i.e. elevation pi*(0.5 - y/h) — same as _grid_direction(u, y/h)
+        d, theta = _grid_direction(u, v)
+        sin_theta = jnp.maximum(1e-10, jnp.sin(theta))
+        convert = jnp.float32((w * h) // 2) / (2.0 * PI * PI * sin_theta)
+        pdf = p2d * convert
+        # mirrored-row radiance fetch (comp:563 + 575)
+        radiance = bilinear_lookup(env.image, u, 1.0 - v)
+    else:
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        d, theta = _grid_direction(u, v)
+        cos_theta = jnp.maximum(jnp.cos(theta), _POLE_EPS)
+        pdf = p2d * (w * h) / (2.0 * PI * PI * cos_theta)
+        radiance = env.image[y, x]
+    return d, radiance, pdf
+
+
+def envmap_pdf(env: EnvMap, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of the NEE sampler at arbitrary directions — the
+    (corrected) analogue of the reference's unused ``SampleHDRImagePDF``
+    (comp:578-587); needed for full MIS of BRDF-sampled env hits."""
+    w, h = env.width, env.height
+    uv = spherical_uv(dirs)
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    theta = PI * (0.5 - uv[..., 1])
+    cos_theta = jnp.maximum(jnp.cos(theta), _POLE_EPS)
+    return env.pdf_xy[x, y] * (w * h) / (2.0 * PI * PI * cos_theta)
+
+
+def bilinear_lookup(image: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear fetch at normalized (u, v); u wraps (azimuth seam), v clamps.
+    The reference uses GL_LINEAR with CLAMP_TO_EDGE on both axes
+    (shader.hpp:140-143); wrapping u is strictly more correct at the seam."""
+    h, w = image.shape[0], image.shape[1]
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = image[y0i, x0i]
+    c10 = image[y0i, x1i]
+    c01 = image[y1i, x0i]
+    c11 = image[y1i, x1i]
+    top = c00 * (1 - tx) + c10 * tx
+    bot = c01 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def envmap_lookup(env: EnvMap, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Radiance along escaped rays (GetHDRImageColor, comp:190-193)."""
+    uv = spherical_uv(dirs)
+    return bilinear_lookup(env.image, uv[..., 0], uv[..., 1])

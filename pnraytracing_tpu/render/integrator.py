@@ -1,0 +1,341 @@
+"""The wavefront path integrator.
+
+Rebuilds the GLSL megakernel's estimator (``PathTracing`` + ``main``,
+ray_tracing.comp:861-992) as a batched pure function: *all* rays advance one
+bounce per step of a Python-static loop, every stage (material fetch, NEE
+light sample, NEE env sample, BRDF sample, traversal) is a masked vectorized
+op over the whole ray batch.  Terminated rays are masked out of traversal
+(their stacks start empty) and their contributions are zeroed.
+
+Estimator structure per bounce (comp:865-970):
+  1. NEE area light: prefix-area light pick, uniform point on the triangle,
+     shadow segment test; LDirect = f * Li * |N.L| / p_light.
+  2. NEE environment: CDF-inverted env sample, occlusion test;
+     LEnvironment = f * Li * (N.L) / p_env.
+  3. BRDF sample (Sobol + Cranley-Patterson for the lobe uniforms).
+  4. One-sample-style combine (comp:937-938):
+       Lo += c * (LEnvironment*p_env + LDirect*p_light) / (p_env + p_light
+             + p_brdf)
+     — the reference's balance-heuristic variant, reproduced as-is; note the
+     BRDF-sampled env/emissive contributions (comp:960, 966) are *not*
+     weighted against the NEE pdfs (also reproduced).
+  5. Continue ray: miss adds env radiance (comp:956-963), hit adds emissive
+     (comp:966), throughput *= f * |N.L| / p_brdf.
+
+RNG: per-pixel wang-hash streams seeded exactly like the reference
+(comp:977-979), with the stream position threaded explicitly (including the
+lobe-conditional draws of SampleCosineHemisphere, so compat mode consumes
+the stream in the reference's order).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pnraytracing_tpu.accel.traverse import any_hit, closest_hit
+from pnraytracing_tpu.core.config import RenderConfig
+from pnraytracing_tpu.core.math import (
+    FLOAT_MAX,
+    SHADOW_EPS,
+    build_tangent_space,
+    cross,
+    dot,
+    normalize,
+)
+from pnraytracing_tpu.core.types import Camera, Scene, TriangleMesh
+from pnraytracing_tpu.ops.brdf import (
+    apply_compat_material_decode,
+    disney_eval,
+    disney_sample,
+)
+from pnraytracing_tpu.ops.envmap import envmap_lookup, sample_envmap
+from pnraytracing_tpu.ops.intersect import Hit, intersect_triangle
+from pnraytracing_tpu.ops.sampling import (
+    cranley_patterson_rotation,
+    pick_light,
+    pixel_seed,
+    rand01,
+    sample_uniform_triangle,
+    sobol_vec2,
+    wang_hash,
+)
+from pnraytracing_tpu.ops.texture import fetch_base_color
+
+_EPS = 1e-10
+
+
+def _stop_gradient_trace(fn, *args, **kw):
+    """Run a traversal with all inputs detached.  ``lax.while_loop`` is not
+    reverse-mode differentiable; hit ids/barycentrics are re-derived
+    differentiably afterwards (path-replay), so the traversal itself must be
+    gradient-free."""
+    return fn(*jax.lax.stop_gradient(args), **kw)
+
+
+def make_interaction(
+    mesh: TriangleMesh, hit: Hit, ray_d: jnp.ndarray, ray_o: jnp.ndarray | None = None
+):
+    """Differentiable surface attributes from (tri, barycentrics) — the
+    analogue of the Interaction fill in TriangleIntersect
+    (ray_tracing.comp:327-355), recomputed outside traversal so gradients
+    flow to vertex data (path-replay style).
+
+    When ``ray_o`` is given, the barycentrics are *re-derived* by
+    intersecting the hit triangle differentiably (the traversal's values are
+    detached constants); forward values are bit-identical, but gradients
+    w.r.t. ``mesh.positions`` and the ray become exact.
+    """
+    tri = jnp.maximum(hit.tri, 0)
+    idx = mesh.indices[tri]  # [R, 3]
+    p = mesh.positions[idx]  # [R, 3, 3]
+    n = mesh.normals[idx]
+    uv = mesh.uvs[idx]
+    if ray_o is not None:
+        ok, _, rb1, rb2 = intersect_triangle(
+            p[:, 0], p[:, 1], p[:, 2], ray_o, ray_d,
+            jnp.full(tri.shape, FLOAT_MAX, jnp.float32),
+        )
+        b1v = jnp.where(ok, rb1, hit.b1)
+        b2v = jnp.where(ok, rb2, hit.b2)
+        b0 = (1.0 - b1v - b2v)[..., None]
+        b1 = b1v[..., None]
+        b2 = b2v[..., None]
+    else:
+        b0 = hit.b0[..., None]
+        b1 = hit.b1[..., None]
+        b2 = hit.b2[..., None]
+    pos = b0 * p[:, 0] + b1 * p[:, 1] + b2 * p[:, 2]
+    geom_n = normalize(cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]))
+    any_zero = (
+        jnp.all(n[:, 0] == 0, axis=-1)
+        | jnp.all(n[:, 1] == 0, axis=-1)
+        | jnp.all(n[:, 2] == 0, axis=-1)
+    )
+    n_interp = b0 * n[:, 0] + b1 * n[:, 1] + b2 * n[:, 2]
+    nrm = jnp.where(any_zero[..., None], geom_n, n_interp)
+    # backface flip toward the incoming ray (comp:345-348)
+    nrm = jnp.where(dot(nrm, ray_d)[..., None] > 0, -nrm, nrm)
+    nrm = normalize(nrm)
+    uv_hit = b0 * uv[:, 0] + b1 * uv[:, 1] + b2 * uv[:, 2]
+    return pos, nrm, uv_hit, mesh.material_id[tri], mesh.texture_id[tri]
+
+
+def sample_light_point(mesh: TriangleMesh, tri: jnp.ndarray, u1, u2):
+    """Uniform point + normal on light triangles (TriangleSample,
+    comp:604-624)."""
+    b0, b1 = sample_uniform_triangle(u1, u2)
+    idx = mesh.indices[tri]
+    p = mesh.positions[idx]
+    n = mesh.normals[idx]
+    b2 = 1.0 - b0 - b1
+    pos = b0[..., None] * p[:, 0] + b1[..., None] * p[:, 1] + b2[..., None] * p[:, 2]
+    geom_n = normalize(cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]))
+    any_zero = (
+        jnp.all(n[:, 0] == 0, axis=-1)
+        | jnp.all(n[:, 1] == 0, axis=-1)
+        | jnp.all(n[:, 2] == 0, axis=-1)
+    )
+    n_interp = (
+        b0[..., None] * n[:, 0] + b1[..., None] * n[:, 1] + b2[..., None] * n[:, 2]
+    )
+    nrm = normalize(jnp.where(any_zero[..., None], geom_n, n_interp))
+    return pos, nrm
+
+
+def _safe_inv(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(jnp.abs(x) > _EPS, 1.0 / jnp.where(x == 0, 1.0, x), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_rays(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame: jnp.ndarray,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Trace one sample for a batch of primary rays.
+
+    o, d: [R, 3] primary rays; px, py: [R] pixel coordinates in the
+    reference's GL convention (x = column, y = row counted from the bottom)
+    — used for the RNG stream seed (comp:977-979) and Cranley-Patterson
+    rotation; frame: scalar frame counter.  Returns [R, 3] radiance.
+    """
+    compat = cfg.compat_pnrt
+    has_env = scene.env is not None
+    has_lights = scene.lights.count > 0
+    has_tex = scene.textures is not None
+    trace_kw = dict(
+        stack_depth=cfg.stack_depth,
+        max_leaf_size=cfg.max_leaf_size,
+        compat=compat,
+    )
+    mesh, materials, bvh, lights = (
+        scene.mesh,
+        scene.materials,
+        scene.bvh,
+        scene.lights,
+    )
+    env_const = (
+        scene.env_constant
+        if scene.env_constant is not None
+        else jnp.zeros(3, jnp.float32)
+    )
+
+    r = o.shape[0]
+    seed = pixel_seed(px, py, frame)
+    t_max0 = jnp.full((r,), FLOAT_MAX, jnp.float32)
+
+    # ---- primary hit (comp:983) -----------------------------------------
+    hit = _stop_gradient_trace(closest_hit, bvh, mesh, o, d, t_max0, **trace_kw)
+    primary_hit = hit.valid
+
+    def env_radiance(dirs):
+        if has_env:
+            return envmap_lookup(scene.env, dirs)
+        return jnp.broadcast_to(env_const * cfg.env_scale, dirs.shape)
+
+    miss_color = env_radiance(d)
+
+    # ---- path loop (comp:861-972) ---------------------------------------
+    active = primary_hit
+    pos, nrm, uv, mat_id, tex_id = make_interaction(mesh, hit, d, o)
+    v_dir = -d
+    lo = jnp.zeros((r, 3), jnp.float32)
+    c = jnp.ones((r, 3), jnp.float32)
+
+    for bounce in range(cfg.max_depth):
+        mat = materials.gather(mat_id)
+        if compat:
+            mat = apply_compat_material_decode(mat)
+        if has_tex:
+            mat = mat.replace(
+                base_color=fetch_base_color(scene.textures, tex_id, uv, mat.base_color)
+            )
+        t_tan, b_tan = build_tangent_space(nrm)
+
+        # --- NEE: area light (comp:878-909) ------------------------------
+        seed, u_light = rand01(seed)
+        l_direct = jnp.zeros((r, 3), jnp.float32)
+        light_pdf = jnp.zeros((r,), jnp.float32)
+        if has_lights:
+            slot = pick_light(lights.prefix_area, lights.total_area, u_light)
+            light_tri = lights.tri_index[slot]
+            seed, u1 = rand01(seed)
+            seed, u2 = rand01(seed)
+            lp, ln = sample_light_point(mesh, light_tri, u1, u2)
+            sdir = lp - pos  # unnormalized segment (comp:887)
+            s_origin = pos + nrm * 1e-4
+            s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
+            occluded = _stop_gradient_trace(
+                any_hit, bvh, mesh, s_origin, sdir, s_tmax, active, **trace_kw
+            )
+            dis2 = dot(sdir, sdir)
+            lnorm = normalize(sdir)
+            cos_l = jnp.abs(dot(ln, -lnorm))
+            raw_pdf = dis2 / jnp.maximum(cos_l * lights.total_area, 1e-12)
+            light_pdf = jnp.where(active & ~occluded, raw_pdf, 0.0)
+            li = materials.emissive[mesh.material_id[light_tri]]
+            light_f = disney_eval(v_dir, nrm, lnorm, t_tan, b_tan, mat)
+            nl = jnp.abs(dot(nrm, lnorm))
+            l_direct = jnp.where(
+                (active & ~occluded)[..., None],
+                light_f * li * nl[..., None] * _safe_inv(raw_pdf)[..., None],
+                0.0,
+            )
+
+        # --- NEE: environment (comp:911-926) ------------------------------
+        l_env = jnp.zeros((r, 3), jnp.float32)
+        env_pdf = jnp.zeros((r,), jnp.float32)
+        if has_env:
+            seed, r1e = rand01(seed)
+            seed, r2e = rand01(seed)
+            en_l, en_li, env_pdf_raw = sample_envmap(scene.env, r1e, r2e, compat=compat)
+            # reference offsets the env shadow ray origin by nothing
+            # (comp:918); default adds the same normal epsilon as elsewhere.
+            e_origin = pos if compat else pos + nrm * 1e-4
+            facing = dot(en_l, nrm) > 0
+            e_occ = _stop_gradient_trace(
+                any_hit, bvh, mesh, e_origin, en_l, t_max0, active & facing, **trace_kw
+            )
+            env_pdf = jnp.where(active, env_pdf_raw, 0.0)  # pdf always counted
+            take = active & facing & ~e_occ
+            env_f = disney_eval(v_dir, nrm, en_l, t_tan, b_tan, mat)
+            l_env = jnp.where(
+                take[..., None],
+                env_f * en_li * dot(en_l, nrm)[..., None]
+                * _safe_inv(env_pdf_raw)[..., None],
+                0.0,
+            )
+
+        # --- BRDF sample (comp:928-934) -----------------------------------
+        if cfg.sampler == "sobol":
+            su, sv = sobol_vec2(frame + 1, bounce)
+            p2 = jnp.broadcast_to(jnp.stack([su, sv]), (r, 2))
+            p2 = cranley_patterson_rotation(p2, px, py, cfg.width, cfg.height)
+            r1, r2 = p2[..., 0], p2[..., 1]
+        else:
+            seed, r1 = rand01(seed)
+            seed, r2 = rand01(seed)
+        seed, r_lobe = rand01(seed)
+        # diffuse-lobe hemisphere draws: consumed from the stream only when
+        # the diffuse lobe is taken (SampleCosineHemisphere, comp:643)
+        s1 = wang_hash(seed)
+        u_d1 = s1.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+        s2 = wang_hash(s1)
+        u_d2 = s2.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+        l_out, d_pdf, lobe = disney_sample(
+            v_dir, nrm, t_tan, b_tan, mat, r_lobe, r1, r2, u_d1, u_d2, compat=compat
+        )
+        seed = jnp.where(lobe == 0, s2, seed)
+
+        d_f = disney_eval(v_dir, nrm, l_out, t_tan, b_tan, mat)
+        n_dot_l = jnp.abs(dot(nrm, l_out))
+
+        # --- MIS combine of the two NEE estimators (comp:937-938) ---------
+        pdf_sum = env_pdf + light_pdf + d_pdf
+        inv_sum = jnp.where(pdf_sum > _EPS, 1.0 / jnp.where(pdf_sum == 0, 1.0, pdf_sum), 0.0)
+        nee = (l_env * env_pdf[..., None] + l_direct * light_pdf[..., None]) * inv_sum[..., None]
+        lo = lo + jnp.where(active[..., None], c * nee, 0.0)
+
+        # --- continue the path (comp:950-969) -----------------------------
+        b_origin = pos + nrm * 1e-4
+        hit2 = _stop_gradient_trace(
+            closest_hit, bvh, mesh, b_origin, l_out, t_max0, active, **trace_kw
+        )
+        weight = d_f * (n_dot_l * _safe_inv(d_pdf))[..., None]
+
+        # miss: environment radiance through the BRDF sample (comp:956-963)
+        miss_now = active & ~hit2.valid
+        lo = lo + jnp.where(miss_now[..., None], c * env_radiance(l_out) * weight, 0.0)
+
+        # hit: emissive pickup (comp:966)
+        pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(mesh, hit2, l_out, b_origin)
+        hit_now = active & hit2.valid
+        emissive2 = materials.emissive[mat_id2]
+        lo = lo + jnp.where(hit_now[..., None], c * emissive2 * weight, 0.0)
+
+        # throughput update and state roll (comp:968-969)
+        c = jnp.where(hit_now[..., None], c * weight, c)
+        v_dir = jnp.where(hit_now[..., None], -l_out, v_dir)
+        pos = jnp.where(hit_now[..., None], pos2, pos)
+        nrm = jnp.where(hit_now[..., None], nrm2, nrm)
+        uv = jnp.where(hit_now[..., None], uv2, uv)
+        mat_id = jnp.where(hit_now, mat_id2, mat_id)
+        tex_id = jnp.where(hit_now, tex_id2, tex_id)
+        active = hit_now
+
+    # ---- compose (comp:983-988): primary emissive + path radiance on hit,
+    # environment on miss
+    primary_emissive = materials.emissive[
+        mesh.material_id[jnp.maximum(hit.tri, 0)]
+    ]
+    color = jnp.where(primary_hit[..., None], primary_emissive + lo, miss_color)
+    if cfg.clamp_radiance:
+        color = jnp.clip(color, 0.0, 1.0)
+    return color

@@ -1,0 +1,103 @@
+"""Environment-map CDF build, importance sampling and lookup tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pnraytracing_tpu.io.hdr import procedural_sky, read_hdr, write_hdr
+from pnraytracing_tpu.ops.envmap import (
+    bilinear_lookup,
+    build_envmap,
+    envmap_lookup,
+    envmap_pdf,
+    sample_envmap,
+)
+
+
+def test_cdf_tables_normalized():
+    img = procedural_sky(32, 64)
+    env = build_envmap(jnp.asarray(img))
+    np.testing.assert_allclose(float(jnp.sum(env.pdf_xy)), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(float(env.cdf_marginal_x[-1]), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(env.cdf_y_given_x[:, -1]), 1.0, rtol=1e-3
+    )
+
+
+def test_sampling_concentrates_on_bright_texels():
+    # single very bright texel: nearly all samples must land on it
+    img = np.full((16, 32, 3), 0.01, np.float32)
+    img[4, 20] = 1000.0
+    env = build_envmap(jnp.asarray(img))
+    rng = np.random.default_rng(0)
+    u = rng.uniform(size=(512, 2)).astype(np.float32)
+    d, radiance, pdf = sample_envmap(env, jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1]))
+    bright = np.asarray(radiance[:, 0]) > 100.0
+    assert bright.mean() > 0.95
+    assert (np.asarray(pdf) > 0).all()
+
+
+def test_sample_direction_matches_pdf_texel():
+    """The direction returned must map back (via the equirect
+    parameterization) to the texel whose pdf was reported."""
+    img = procedural_sky(16, 32)
+    env = build_envmap(jnp.asarray(img))
+    rng = np.random.default_rng(1)
+    u = rng.uniform(size=(256, 2)).astype(np.float32)
+    d, radiance, pdf = sample_envmap(env, jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1]))
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=1), 1.0, atol=1e-5)
+    pdf2 = envmap_pdf(env, d)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2), rtol=1e-3)
+
+
+def test_monte_carlo_integral_consistency():
+    """E[L/pdf] over env samples ~ integral of L over the sphere — checks
+    the solid-angle pdf conversion factor."""
+    img = procedural_sky(32, 64, sun_intensity=0.0)  # smooth sky, no disc
+    env = build_envmap(jnp.asarray(img))
+    rng = np.random.default_rng(2)
+    n = 20000
+    u = rng.uniform(size=(n, 2)).astype(np.float32)
+    d, radiance, pdf = sample_envmap(env, jnp.asarray(u[:, 0]), jnp.asarray(u[:, 1]))
+    est = np.asarray(radiance[:, 1] / np.asarray(pdf)).mean()
+    # ground truth: sum L * dOmega over texels
+    h, w = img.shape[:2]
+    v = (np.arange(h) + 0.5) / h
+    sin_polar = np.sin(np.pi * v)  # solid angle weight per row
+    d_omega = (2 * np.pi / w) * (np.pi / h) * sin_polar
+    truth = (img[..., 1] * d_omega[:, None]).sum()
+    np.testing.assert_allclose(est, truth, rtol=0.05)
+
+
+def test_lookup_bilinear_and_poles():
+    img = procedural_sky(16, 32)
+    env = build_envmap(jnp.asarray(img))
+    dirs = jnp.asarray(
+        [[0, 1, 0], [0, -1, 0], [1, 0, 0], [0, 0, 1], [-1, 0, 0]], jnp.float32
+    )
+    out = np.asarray(envmap_lookup(env, dirs))
+    assert np.isfinite(out).all() and (out >= 0).all()
+    # up must be brighter than down for a sky
+    assert out[0].sum() > out[1].sum()
+
+
+def test_hdr_roundtrip(tmp_path):
+    img = procedural_sky(16, 32)
+    p = str(tmp_path / "t.hdr")
+    write_hdr(p, img)
+    back = read_hdr(p)
+    assert back.shape == img.shape
+    # RGBE has ~1% mantissa precision
+    np.testing.assert_allclose(back, img, rtol=0.02, atol=1e-3)
+
+
+def test_read_reference_hdr_if_present():
+    import os
+
+    path = "/root/reference/HDR/vignaioli_night_1k.hdr"
+    if not os.path.exists(path):
+        return
+    img = read_hdr(path)
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.shape[0] >= 256 and img.shape[1] == 2 * img.shape[0]
+    assert np.isfinite(img).all() and (img >= 0).all()
+    assert img.max() > 1.0  # HDR content

@@ -1,0 +1,137 @@
+"""End-to-end renderer tests (BASELINE.json configs 1-2 scaled down for the
+CPU backend): BVH-vs-brute-force image equality, determinism, estimator
+sanity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnraytracing_tpu.core.camera import make_camera
+from pnraytracing_tpu.core.config import RenderConfig
+from pnraytracing_tpu.render.renderer import AccumState, render, render_frame
+from pnraytracing_tpu.scene import shapes
+from pnraytracing_tpu.scene.build import SceneBuilder
+from pnraytracing_tpu.scene.transform import compose, rotate, scale, translate
+
+
+def small_scene(flat_bvh=False):
+    """Cube + floor + overhead light: ~16 triangles, all estimator paths
+    (NEE light, BRDF bounce, env constant)."""
+    b = SceneBuilder()
+    b.add(shapes.cube(0.8), dict(base_color=(0.7, 0.3, 0.3), roughness=0.5),
+          name="cube", transform=translate(0, 0.8, 0))
+    b.add(shapes.quad(6.0), dict(base_color=(0.7, 0.7, 0.7), roughness=0.9),
+          name="floor")
+    b.add(shapes.quad(1.0), dict(emissive=(15.0, 15.0, 15.0)),
+          name="light",
+          transform=compose(translate(0, 5.0, 0), rotate(180, (0, 0, 1))))
+    scene = b.build(flat_bvh=flat_bvh, env_constant=(0.2, 0.25, 0.3))
+    # slightly asymmetric pose: a perfectly symmetric view sends the center
+    # pixel column exactly through the cube's edge, where closest-hit ties
+    # are broken by traversal order (legitimately different between BVH
+    # layouts)
+    cam = make_camera((3.47, 3.02, 3.55), (0.013, 0.8, 0.017), (0, 1, 0), 45.0, 1.0)
+    return scene, cam
+
+
+CFG = RenderConfig(width=32, height=32, max_depth=2, sampler="hash",
+                   tile_pixels=1 << 18)
+
+
+def test_render_finite_and_deterministic():
+    scene, cam = small_scene()
+    img1 = np.asarray(render_frame(scene, cam, CFG, 0))
+    img2 = np.asarray(render_frame(scene, cam, CFG, 0))
+    assert img1.shape == (32, 32, 3)
+    assert np.isfinite(img1).all()
+    assert (img1 >= 0).all() and (img1 <= 1).all()  # clamp_radiance
+    np.testing.assert_array_equal(img1, img2)
+    # different frames give different samples
+    img3 = np.asarray(render_frame(scene, cam, CFG, 1))
+    assert np.abs(img1 - img3).max() > 1e-4
+
+
+def test_bvh_and_flat_oracle_agree():
+    """The SAH-BVH render must match the single-leaf brute-force render
+    pixel for pixel — traversal cannot change the estimator."""
+    scene_bvh, cam = small_scene(flat_bvh=False)
+    scene_flat, _ = small_scene(flat_bvh=True)
+    num_tris = int(scene_flat.mesh.indices.shape[0])
+    cfg_flat = RenderConfig(width=32, height=32, max_depth=2, sampler="hash",
+                            max_leaf_size=num_tris, stack_depth=4)
+    a = np.asarray(render_frame(scene_bvh, cam, CFG, 0))
+    b = np.asarray(render_frame(scene_flat, cam, cfg_flat, 0))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_emissive_pixels_show_emission():
+    scene, cam_unused = small_scene()
+    # look straight at the light from below
+    cam = make_camera((0, 3.0, 0.01), (0, 5.0, 0), (0, 0, 1), 60.0, 1.0)
+    img = np.asarray(render_frame(scene, cam, CFG, 0))
+    # center pixels see the emissive quad; clamped to 1
+    c = img[12:20, 12:20]
+    assert (c > 0.99).mean() > 0.5
+
+
+def test_miss_pixels_get_constant_env():
+    scene, _ = small_scene()
+    cam = make_camera((0, 2.0, 20), (0, 2.0, 40), (0, 1, 0), 45.0, 1.0)  # look away
+    img = np.asarray(render_frame(scene, cam, CFG, 0))
+    np.testing.assert_allclose(
+        img.reshape(-1, 3), np.array([0.2, 0.25, 0.3]), atol=1e-5
+    )
+
+
+def test_progressive_accumulation_reduces_noise():
+    scene, cam = small_scene()
+    ref = np.asarray(render(scene, cam, CFG, spp=16))
+    one = np.asarray(render_frame(scene, cam, CFG, 0))
+    avg4 = np.asarray(render(scene, cam, CFG, spp=4))
+    err1 = np.mean((one - ref) ** 2)
+    err4 = np.mean((avg4 - ref) ** 2)
+    assert err4 < err1
+
+
+def test_accum_state_running_average():
+    cfg = RenderConfig(width=4, height=4)
+    st = AccumState.create(cfg)
+    a = jnp.ones((4, 4, 3)) * 2.0
+    b = jnp.zeros((4, 4, 3))
+    st = st.add(a).add(b)
+    np.testing.assert_allclose(np.asarray(st.resolve()), 1.0)
+    st = st.reset()
+    assert int(st.count) == 0
+
+
+def test_sobol_sampler_runs():
+    scene, cam = small_scene()
+    cfg = RenderConfig(width=16, height=16, max_depth=2, sampler="sobol")
+    img = np.asarray(render_frame(scene, cam, cfg, 0))
+    assert np.isfinite(img).all()
+
+
+@pytest.mark.parametrize("compat", [True])
+def test_compat_mode_runs(compat):
+    scene, cam = small_scene()
+    cfg = RenderConfig(width=16, height=16, max_depth=2, sampler="hash",
+                       compat_pnrt=compat)
+    img = np.asarray(render_frame(scene, cam, cfg, 0))
+    assert np.isfinite(img).all()
+
+
+def test_textured_scene_runs():
+    from pnraytracing_tpu.scene.scenes import checkerboard
+
+    b = SceneBuilder()
+    b.add(shapes.quad(2.0), dict(roughness=0.8), name="floor",
+          texture=checkerboard(32, 4, (1, 0, 0), (0, 0, 1)))
+    scene = b.build(env_constant=(0.5, 0.5, 0.5))
+    cam = make_camera((0, 3, 3), (0, 0, 0), (0, 1, 0), 45.0, 1.0)
+    cfg = RenderConfig(width=16, height=16, max_depth=1, sampler="hash")
+    img = np.asarray(render_frame(scene, cam, cfg, 0))
+    assert np.isfinite(img).all()
+    # checkerboard should produce both reddish and bluish pixels
+    flat = img.reshape(-1, 3)
+    hit = flat[(flat != np.array([0.5, 0.5, 0.5])).any(axis=1)]
+    assert (hit[:, 0] > hit[:, 2]).any() and (hit[:, 2] > hit[:, 0]).any()
