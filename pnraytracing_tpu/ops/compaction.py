@@ -1,0 +1,49 @@
+"""Stream compaction via parallel prefix scan.
+
+The reference ships a workgroup shared-memory inclusive scan
+(``shaders/prefix_sum.comp``) with a manual test harness
+(``PrefixSum()``, main.cpp:144-170) — dead code in its render path, but the
+building block for wavefront ray compaction.  The TPU-native equivalent is
+``jax.lax.associative_scan`` (log-depth, XLA-fused), used here to pack live
+rays to the front of the batch between bounces, the optimization SURVEY.md
+§2.3 maps ``prefix_sum.comp`` to."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def inclusive_scan(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Inclusive prefix sum (the exact operation of prefix_sum.comp:10-23,
+    without the 1024-element workgroup limit)."""
+    return jax.lax.associative_scan(jnp.add, x, axis=axis)
+
+
+def exclusive_scan(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    inc = inclusive_scan(x, axis=axis)
+    return inc - x
+
+
+def compact_indices(mask: jnp.ndarray):
+    """Pack the indices of True lanes to the front.
+
+    Returns (perm [R] i32, count) where perm's first ``count`` entries are
+    the indices of live lanes (in order) and the rest are the dead lanes —
+    a permutation, so ``x[perm]`` never gathers out of bounds and
+    ``invert_permutation`` restores the original order.
+    """
+    mask = mask.astype(jnp.int32)
+    r = mask.shape[0]
+    pos_live = exclusive_scan(mask)  # rank among live
+    count = pos_live[-1] + mask[-1]
+    pos_dead = exclusive_scan(1 - mask) + count  # rank among dead, after live
+    dest = jnp.where(mask == 1, pos_live, pos_dead)  # [R] destination slot
+    perm = jnp.zeros((r,), jnp.int32).at[dest].set(jnp.arange(r, dtype=jnp.int32))
+    return perm, count
+
+
+def scatter_back(values: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """Undo ``x[perm]``: returns array y with y[perm[i]] = values[i]."""
+    out = jnp.zeros_like(values)
+    return out.at[perm].set(values)

@@ -214,27 +214,40 @@ def merge(*meshes):
     )
 
 
-def teapot(segments: int = 40):
+def _resample_profile(r, y, n):
+    """Linear resample of a profile polyline to n points."""
+    t = np.linspace(0, 1, len(r))
+    tt = np.linspace(0, 1, n)
+    return np.interp(tt, t, r), np.interp(tt, t, y)
+
+
+def teapot(segments: int = 72):
     """Procedural stand-in for the Utah ``teapot.obj`` (~6k triangles at the
     default resolution): body + lid as surfaces of revolution, spout and
     handle as swept tubes.  Sits on y=0, overall height ~3.2, like a teapot.
     """
     # body profile (r, y)
-    body_r = [0.01, 0.9, 1.3, 1.5, 1.45, 1.25, 0.95, 0.9]
-    body_y = [0.0, 0.08, 0.5, 1.1, 1.6, 2.0, 2.25, 2.3]
+    body_r, body_y = _resample_profile(
+        [0.01, 0.9, 1.3, 1.5, 1.45, 1.25, 0.95, 0.9],
+        [0.0, 0.08, 0.5, 1.1, 1.6, 2.0, 2.25, 2.3],
+        16,
+    )
     body = revolution(body_r, body_y, segments=segments, close_bottom=True)
     # lid profile
-    lid_r = [0.9, 0.6, 0.35, 0.2, 0.22, 0.12, 0.01]
-    lid_y = [2.3, 2.42, 2.55, 2.7, 2.85, 3.0, 3.15]
+    lid_r, lid_y = _resample_profile(
+        [0.9, 0.6, 0.35, 0.2, 0.22, 0.12, 0.01],
+        [2.3, 2.42, 2.55, 2.7, 2.85, 3.0, 3.15],
+        12,
+    )
     lid = revolution(lid_r, lid_y, segments=segments, close_top=True)
     # spout: swept tube from body out and up
-    t = np.linspace(0, 1, 14)
+    t = np.linspace(0, 1, 24)
     spout_path = np.stack(
         [1.2 + 1.5 * t, 0.9 + 1.5 * t * t + 0.6 * t, np.zeros_like(t)], axis=1
     )
     spout = tube(spout_path, radius=0.22, segments=max(8, segments // 4))
     # handle: half-ellipse on the other side
-    a = np.linspace(-0.45 * np.pi, 0.45 * np.pi, 16)
+    a = np.linspace(-0.45 * np.pi, 0.45 * np.pi, 28)
     handle_path = np.stack(
         [-1.15 - 0.85 * np.cos(a), 1.45 + 0.95 * np.sin(a), np.zeros_like(a)], axis=1
     )

@@ -13,7 +13,9 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compile cache: the traversal while-loops are expensive to
-# compile; cache them across pytest runs.
+# compile; cache them across pytest runs.  Separate directory from the
+# TPU-side cache — the remote compile service's CPU artifacts target
+# different machine features than this host.
 jax.config.update("jax_compilation_cache_dir", os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,53 @@
+"""Prefix-scan compaction tests (the real unit test the reference's
+PrefixSum() harness (main.cpp:144-170) only eyeballed)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pnraytracing_tpu.ops.compaction import (
+    compact_indices,
+    exclusive_scan,
+    inclusive_scan,
+    scatter_back,
+)
+
+
+def test_inclusive_scan_matches_cumsum():
+    rng = np.random.default_rng(0)
+    # 1024 elements — the workgroup size of prefix_sum.comp:3
+    x = rng.integers(0, 100, size=1024).astype(np.int32)
+    got = np.asarray(inclusive_scan(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, np.cumsum(x))
+
+
+def test_exclusive_scan():
+    x = jnp.asarray([3, 1, 4, 1, 5], jnp.int32)
+    np.testing.assert_array_equal(np.asarray(exclusive_scan(x)), [0, 3, 4, 8, 9])
+
+
+def test_compact_indices_is_permutation():
+    rng = np.random.default_rng(1)
+    mask = rng.uniform(size=1000) < 0.3
+    perm, count = compact_indices(jnp.asarray(mask))
+    perm = np.asarray(perm)
+    assert int(count) == mask.sum()
+    assert sorted(perm.tolist()) == list(range(1000))
+    # first `count` slots are exactly the live indices, in order
+    np.testing.assert_array_equal(perm[: int(count)], np.nonzero(mask)[0])
+
+
+def test_scatter_back_roundtrip():
+    rng = np.random.default_rng(2)
+    mask = rng.uniform(size=257) < 0.5
+    x = rng.normal(size=(257, 3)).astype(np.float32)
+    perm, _ = compact_indices(jnp.asarray(mask))
+    gathered = jnp.asarray(x)[perm]
+    restored = scatter_back(gathered, perm)
+    np.testing.assert_array_equal(np.asarray(restored), x)
+
+
+def test_all_and_none_live():
+    for mask in (np.ones(64, bool), np.zeros(64, bool)):
+        perm, count = compact_indices(jnp.asarray(mask))
+        assert int(count) == mask.sum()
+        assert sorted(np.asarray(perm).tolist()) == list(range(64))

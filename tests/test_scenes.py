@@ -1,0 +1,87 @@
+"""Scene catalog smoke tests: every catalog scene builds and renders a
+finite, non-trivial image at tiny resolution."""
+
+import numpy as np
+import pytest
+
+from pnraytracing_tpu.core.config import RenderConfig
+from pnraytracing_tpu.render.renderer import render_frame
+from pnraytracing_tpu.scene import scenes
+
+CFG = RenderConfig(width=16, height=16, max_depth=2, sampler="hash")
+
+
+def _render(scene, cam_state):
+    cam_state.aspect = 1.0
+    return np.asarray(render_frame(scene, cam_state.basis(), CFG, 0))
+
+
+def test_cornell_box():
+    builder, cam = scenes.cornell_box()
+    scene = builder.build()
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01  # not a constant image
+    # red wall on the left, green on the right must tint the halves
+    left = img[:, :4].mean(axis=(0, 1))
+    right = img[:, -4:].mean(axis=(0, 1))
+    assert left[0] > left[1]  # red-ish
+    assert right[1] > right[0]  # green-ish
+
+
+def test_scene_flat():
+    builder, cam = scenes.scene_flat()
+    scene = builder.build(env_constant=(0.03, 0.03, 0.05))
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.005
+
+
+def test_teapot_scene():
+    builder, cam = scenes.teapot_scene()
+    scene = builder.build(env_image=scenes.night_hdr(64))
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.005
+
+
+def test_config1():
+    scene, cam = scenes.config1_triangle()
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+    assert scene.textures is not None
+
+
+def test_config2_light_list():
+    scene, cam = scenes.config2_teapot()
+    assert int(scene.lights.count) == 2  # the emissive quad's two triangles
+    assert float(scene.lights.total_area) > 0
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+
+
+def test_config3_has_env():
+    scene, cam = scenes.config3_teapot_night(env_height=32)
+    assert scene.env is not None
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+
+
+def test_config4_textured_multimesh():
+    scene, cam = scenes.config4_marry()
+    assert scene.textures is not None and scene.textures.count >= 1
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+
+
+def test_config5_size():
+    scene, cam = scenes.config5_large(subdiv=4)  # small variant for CPU
+    assert scene.mesh.num_triangles > 6000
+    img = _render(scene, cam)
+    assert np.isfinite(img).all()
+
+
+def test_night_hdr_shape():
+    img = scenes.night_hdr(64)
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert np.isfinite(img).all() and (img >= 0).all()
