@@ -176,6 +176,67 @@ def closest_hit(
 @functools.partial(
     jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat")
 )
+def traversal_stats(
+    bvh: BVH,
+    mesh: TriangleMesh,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+):
+    """Instrumented closest-hit: returns (per-ray node visits [R],
+    lockstep iterations []).  The gap between mean visits and lockstep
+    iterations is the tail-divergence waste of the batched while loop —
+    the number the wavefront-compaction optimisation targets."""
+    r, arange, inv_d = _prepare(o, d)
+    stack = jnp.zeros((r, stack_depth), jnp.int32)
+    top = jnp.ones((r,), jnp.int32)
+    t_best = jnp.asarray(t_max, jnp.float32)
+    visits = jnp.zeros((r,), jnp.int32)
+    iters = jnp.zeros((), jnp.int32)
+
+    def cond(state):
+        return jnp.any(state[1] > 0)
+
+    def body(state):
+        stack, top, t_best, visits, iters = state
+        node_id, top, active = _pop(stack, top, arange)
+        visits = visits + active.astype(jnp.int32)
+        bhit = active & intersect_aabb(
+            bvh.node_min[node_id], bvh.node_max[node_id], o, inv_d, t_best,
+            compat=compat,
+        )
+        is_leaf = bvh.right_child[node_id] < 0
+        leaf = bhit & is_leaf
+        for tri_hit, _, t, _, _ in _leaf_triangles(
+            mesh, bvh.start[node_id], bvh.end[node_id], leaf, o, d, t_best,
+            max_leaf_size, compat,
+        ):
+            t_best = jnp.where(tri_hit & (t < t_best), t, t_best)
+        internal = bhit & ~is_leaf
+        near, far = _children(bvh, node_id, d)
+        far_ok = internal & intersect_aabb(
+            bvh.node_min[far], bvh.node_max[far], o, inv_d, t_best, compat=compat
+        )
+        near_ok = internal & intersect_aabb(
+            bvh.node_min[near], bvh.node_max[near], o, inv_d, t_best, compat=compat
+        )
+        stack2, top2 = _push(stack, top, far, far_ok, arange, stack_depth)
+        stack2, top2 = _push(stack2, top2, near, near_ok, arange, stack_depth)
+        return stack2, top2, t_best, visits, iters + 1
+
+    _, _, _, visits, iters = jax.lax.while_loop(
+        cond, body, (stack, top, t_best, visits, iters)
+    )
+    return visits, iters
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat")
+)
 def any_hit(
     bvh: BVH,
     mesh: TriangleMesh,

@@ -216,6 +216,10 @@ class Scene:
     lights: Lights
     env: Optional[EnvMap] = None
     textures: Optional[TextureAtlas] = None
+    # Gather-minimized traversal layout (accel/layout.py); None falls back
+    # to the generic traversal (e.g. the flat-BVH oracle, whose giant leaf
+    # exceeds the packed count field).
+    trav: Optional["object"] = None
     # Constant-radiance environment used when no HDR map is present (the
     # reference renders black on miss without an HDR; BASELINE.json config 1
     # needs a constant env light).

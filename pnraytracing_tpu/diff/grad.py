@@ -101,7 +101,12 @@ def refit_scene(scene: Scene, max_leaf_size: int = 4) -> Scene:
         start=jnp.asarray(built.start),
         end=jnp.asarray(built.end),
     )
-    return scene.replace(mesh=mesh, bvh=bvh, lights=lights)
+    trav = scene.trav
+    if trav is not None:
+        from pnraytracing_tpu.accel.layout import pack_traversal_data
+
+        trav = pack_traversal_data(bvh, mesh)
+    return scene.replace(mesh=mesh, bvh=bvh, lights=lights, trav=trav)
 
 
 def render_image_from_params(

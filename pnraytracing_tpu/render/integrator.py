@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from pnraytracing_tpu.accel.traverse import any_hit, closest_hit
+from pnraytracing_tpu.accel.traverse_packed import any_hit_packed, closest_hit_packed
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.math import (
     FLOAT_MAX,
@@ -191,8 +192,31 @@ def render_rays(
     seed = pixel_seed(px, py, frame)
     t_max0 = jnp.full((r,), FLOAT_MAX, jnp.float32)
 
+    # Traversal dispatch: the packed layout (one row-gather per node visit /
+    # triangle test) when the scene carries it, generic otherwise.
+    if scene.trav is not None:
+        def _closest(o_, d_, tm_, mask_=None):
+            return _stop_gradient_trace(
+                closest_hit_packed, scene.trav, o_, d_, tm_, mask_, **trace_kw
+            )
+
+        def _occluded(o_, d_, tm_, mask_=None):
+            return _stop_gradient_trace(
+                any_hit_packed, scene.trav, o_, d_, tm_, mask_, **trace_kw
+            )
+    else:
+        def _closest(o_, d_, tm_, mask_=None):
+            return _stop_gradient_trace(
+                closest_hit, bvh, mesh, o_, d_, tm_, mask_, **trace_kw
+            )
+
+        def _occluded(o_, d_, tm_, mask_=None):
+            return _stop_gradient_trace(
+                any_hit, bvh, mesh, o_, d_, tm_, mask_, **trace_kw
+            )
+
     # ---- primary hit (comp:983) -----------------------------------------
-    hit = _stop_gradient_trace(closest_hit, bvh, mesh, o, d, t_max0, **trace_kw)
+    hit = _closest(o, d, t_max0)
     primary_hit = hit.valid
 
     def env_radiance(dirs):
@@ -232,9 +256,7 @@ def render_rays(
             sdir = lp - pos  # unnormalized segment (comp:887)
             s_origin = pos + nrm * 1e-4
             s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
-            occluded = _stop_gradient_trace(
-                any_hit, bvh, mesh, s_origin, sdir, s_tmax, active, **trace_kw
-            )
+            occluded = _occluded(s_origin, sdir, s_tmax, active)
             dis2 = dot(sdir, sdir)
             lnorm = normalize(sdir)
             cos_l = jnp.abs(dot(ln, -lnorm))
@@ -260,9 +282,7 @@ def render_rays(
             # (comp:918); default adds the same normal epsilon as elsewhere.
             e_origin = pos if compat else pos + nrm * 1e-4
             facing = dot(en_l, nrm) > 0
-            e_occ = _stop_gradient_trace(
-                any_hit, bvh, mesh, e_origin, en_l, t_max0, active & facing, **trace_kw
-            )
+            e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
             env_pdf = jnp.where(active, env_pdf_raw, 0.0)  # pdf always counted
             take = active & facing & ~e_occ
             env_f = disney_eval(v_dir, nrm, en_l, t_tan, b_tan, mat)
@@ -305,9 +325,7 @@ def render_rays(
 
         # --- continue the path (comp:950-969) -----------------------------
         b_origin = pos + nrm * 1e-4
-        hit2 = _stop_gradient_trace(
-            closest_hit, bvh, mesh, b_origin, l_out, t_max0, active, **trace_kw
-        )
+        hit2 = _closest(b_origin, l_out, t_max0, active)
         weight = d_f * (n_dot_l * _safe_inv(d_pdf))[..., None]
 
         # miss: environment radiance through the BRDF sample (comp:956-963)

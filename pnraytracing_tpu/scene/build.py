@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pnraytracing_tpu.accel.bvh import BVHArrays, build_bvh, triangle_bounds
+from pnraytracing_tpu.accel.layout import MAX_PACKED_LEAF, pack_traversal_data
 from pnraytracing_tpu.core.types import (
     BVH,
     EnvMap,
@@ -204,6 +205,14 @@ class SceneBuilder:
 
         env = build_envmap(jnp.asarray(env_image)) if env_image is not None else None
         atlas = build_atlas(textures)
+
+        # gather-minimized traversal layout (fits when leaves are small; the
+        # flat-BVH oracle exceeds the packed count field and falls back)
+        trav = None
+        max_count = int((built.end - built.start)[built.right_child == -1].max())
+        if max_count <= MAX_PACKED_LEAF:
+            trav = pack_traversal_data(bvh, mesh)
+
         return Scene(
             mesh=mesh,
             materials=Materials.stack(materials),
@@ -216,4 +225,5 @@ class SceneBuilder:
                 if env_constant is not None
                 else None
             ),
+            trav=trav,
         )

@@ -79,7 +79,9 @@ def test_miss_pixels_get_constant_env():
     cam = make_camera((0, 2.0, 20), (0, 2.0, 40), (0, 1, 0), 45.0, 1.0)  # look away
     img = np.asarray(render_frame(scene, cam, CFG, 0))
     np.testing.assert_allclose(
-        img.reshape(-1, 3), np.array([0.2, 0.25, 0.3]), atol=1e-5
+        img.reshape(-1, 3),
+        np.broadcast_to(np.array([0.2, 0.25, 0.3], np.float32), (img.size // 3, 3)),
+        atol=1e-5,
     )
 
 
