@@ -37,6 +37,13 @@ class RenderConfig:
     clamp_radiance: bool = True  # clamp color to [0,1] pre-accumulation
     # (ray_tracing.comp:988); biased but reference-faithful.
 
+    # MIS combine. 'reference' reproduces the GLSL estimator exactly
+    # (comp:937-938: one-sample partial combine, BRDF-sampled env/emissive
+    # contributions unweighted — slightly over-counts the BRDF strategy);
+    # 'balanced' is a proper per-strategy balance heuristic (unbiased,
+    # passes the furnace test).
+    mis: str = "reference"
+
     # Reproduce reference quirks bit-for-bit where feasible (see SURVEY.md
     # §3.3): material decode bug, GTR half-vector construction, tMax-ignoring
     # AABB test, z-only axis permutation in the watertight test.
@@ -47,6 +54,10 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.sampler in ("sobol", "hash")
+        assert self.mis in ("reference", "balanced")
+        assert not (self.compat_pnrt and self.mis == "balanced"), (
+            "compat mode implies the reference estimator"
+        )
         assert self.max_depth >= 1
         assert self.stack_depth >= 2
 

@@ -50,9 +50,10 @@ from pnraytracing_tpu.core.types import Camera, Scene, TriangleMesh
 from pnraytracing_tpu.ops.brdf import (
     apply_compat_material_decode,
     disney_eval,
+    disney_pdf,
     disney_sample,
 )
-from pnraytracing_tpu.ops.envmap import envmap_lookup, sample_envmap
+from pnraytracing_tpu.ops.envmap import envmap_lookup, envmap_pdf, sample_envmap
 from pnraytracing_tpu.ops.intersect import Hit, intersect_triangle
 from pnraytracing_tpu.ops.sampling import (
     cranley_patterson_rotation,
@@ -317,10 +318,29 @@ def render_rays(
         d_f = disney_eval(v_dir, nrm, l_out, t_tan, b_tan, mat)
         n_dot_l = jnp.abs(dot(nrm, l_out))
 
-        # --- MIS combine of the two NEE estimators (comp:937-938) ---------
-        pdf_sum = env_pdf + light_pdf + d_pdf
-        inv_sum = jnp.where(pdf_sum > _EPS, 1.0 / jnp.where(pdf_sum == 0, 1.0, pdf_sum), 0.0)
-        nee = (l_env * env_pdf[..., None] + l_direct * light_pdf[..., None]) * inv_sum[..., None]
+        # --- MIS combine of the NEE estimators -----------------------------
+        if cfg.mis == "reference":
+            # the GLSL one-sample combine (comp:937-938); BRDF-sampled
+            # contributions below stay unweighted (comp:960, 966)
+            pdf_sum = env_pdf + light_pdf + d_pdf
+            inv_sum = jnp.where(
+                pdf_sum > _EPS, 1.0 / jnp.where(pdf_sum == 0, 1.0, pdf_sum), 0.0
+            )
+            nee = (
+                l_env * env_pdf[..., None] + l_direct * light_pdf[..., None]
+            ) * inv_sum[..., None]
+        else:
+            # per-strategy balance heuristic: each NEE sample weighted
+            # against the BRDF strategy's pdf for the same direction
+            nee = jnp.zeros((r, 3), jnp.float32)
+            if has_lights:
+                p_b_light = jnp.maximum(disney_pdf(v_dir, nrm, lnorm, mat), 0.0)
+                w_l = light_pdf / jnp.maximum(light_pdf + p_b_light, _EPS)
+                nee = nee + l_direct * w_l[..., None]
+            if has_env:
+                p_b_env = jnp.maximum(disney_pdf(v_dir, nrm, en_l, mat), 0.0)
+                w_e = env_pdf / jnp.maximum(env_pdf + p_b_env, _EPS)
+                nee = nee + l_env * w_e[..., None]
         lo = lo + jnp.where(active[..., None], c * nee, 0.0)
 
         # --- continue the path (comp:950-969) -----------------------------
@@ -330,13 +350,31 @@ def render_rays(
 
         # miss: environment radiance through the BRDF sample (comp:956-963)
         miss_now = active & ~hit2.valid
-        lo = lo + jnp.where(miss_now[..., None], c * env_radiance(l_out) * weight, 0.0)
+        env_li_out = env_radiance(l_out)
+        if cfg.mis == "balanced" and has_env:
+            p_e_out = envmap_pdf(scene.env, l_out)
+            w_b_env = (d_pdf / jnp.maximum(d_pdf + p_e_out, _EPS))[..., None]
+        else:
+            w_b_env = 1.0
+        lo = lo + jnp.where(miss_now[..., None], c * env_li_out * weight * w_b_env, 0.0)
 
         # hit: emissive pickup (comp:966)
         pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(mesh, hit2, l_out, b_origin)
         hit_now = active & hit2.valid
         emissive2 = materials.emissive[mat_id2]
-        lo = lo + jnp.where(hit_now[..., None], c * emissive2 * weight, 0.0)
+        if cfg.mis == "balanced" and has_lights:
+            # solid-angle pdf of the area-light NEE strategy at this hit
+            cos_h = jnp.abs(dot(nrm2, l_out))
+            p_l_hit = (hit2.t * hit2.t) / jnp.maximum(
+                cos_h * lights.total_area, 1e-12
+            )
+            is_emissive = jnp.any(emissive2 != 0.0, axis=-1)
+            w_b_emis = jnp.where(
+                is_emissive, d_pdf / jnp.maximum(d_pdf + p_l_hit, _EPS), 1.0
+            )[..., None]
+        else:
+            w_b_emis = 1.0
+        lo = lo + jnp.where(hit_now[..., None], c * emissive2 * weight * w_b_emis, 0.0)
 
         # throughput update and state roll (comp:968-969)
         c = jnp.where(hit_now[..., None], c * weight, c)
