@@ -124,7 +124,7 @@ def render_image_from_params(
     return render_rays(apply_params(scene, params), o, d, px, py, frame, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
 def loss_and_grad(
     params: dict,
     scene: Scene,
@@ -135,11 +135,33 @@ def loss_and_grad(
     frame,
     target: jnp.ndarray,
     cfg: RenderConfig,
+    spp: int = 1,
 ):
-    """MSE against a target ray-color batch and its gradient w.r.t. params."""
+    """Squared-error loss against a target ray-color batch and its gradient.
+
+    With ``spp >= 2`` the samples are split into two independent halves A, B
+    and the loss is the *dual-buffer* estimator ``mean((A-t)*(B-t))``:
+    ``E[(A-t)(B-t)] = (E[render]-t)^2`` exactly, with no ``Var/n`` term —
+    plain MSE of a noisy render is biased toward low-variance (dark)
+    parameters, which wrecks inverse rendering.  ``spp == 1`` falls back to
+    plain (biased) MSE."""
+
+    def renders(p, f0, k):
+        img = jnp.zeros_like(target)
+        for j in range(k):
+            img = img + render_image_from_params(
+                p, scene, o, d, px, py, f0 + jnp.uint32(j), cfg
+            )
+        return img / k
 
     def f(p):
-        img = render_image_from_params(p, scene, o, d, px, py, frame, cfg)
+        if spp >= 2:
+            ka = spp // 2
+            kb = spp - ka
+            a = renders(p, jnp.uint32(frame), ka)
+            b = renders(p, jnp.uint32(frame) + jnp.uint32(ka), kb)
+            return jnp.mean((a - target) * (b - target))
+        img = renders(p, jnp.uint32(frame), 1)
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(f)(params)
@@ -154,6 +176,7 @@ def adam_optimize(
     steps: int = 32,
     lr: float = 2e-2,
     frame_offset: int = 0,
+    spp_per_step: int = 4,
 ):
     """Small self-contained inverse-rendering loop (BASELINE config 5's
     "differentiable material/env optimization").  Returns (optimized scene,
@@ -173,7 +196,9 @@ def adam_optimize(
     losses = []
     for step in range(steps):
         loss, grads = loss_and_grad(
-            params, scene, o, d, px, py, jnp.uint32(frame_offset + step), target, cfg
+            params, scene, o, d, px, py,
+            jnp.uint32(frame_offset + step * spp_per_step), target, cfg,
+            spp=spp_per_step,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
