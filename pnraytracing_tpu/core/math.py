@@ -30,8 +30,15 @@ def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.cross(a, b)
 
 
+def safe_sqrt(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """sqrt with a NaN-free gradient at 0: ``sqrt(max(0, x))`` has backward
+    ``inf * 0 = NaN`` whenever x <= 0 (d sqrt at 0 is inf, d max is 0);
+    clamping to eps keeps the chain finite with <= 1e-6 forward error."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def length(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
+    return safe_sqrt(dot(a, a))
 
 
 def normalize(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:

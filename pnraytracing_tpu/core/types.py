@@ -76,6 +76,31 @@ class Materials:
 
         return jax.tree_util.tree_map(lambda a: a[idx], self)
 
+    def sanitized(self) -> "Materials":
+        """Clamp every parameter to its physical domain (the range the
+        reference's ImGui sliders enforce, ImGuiLayer.hpp:60-71).  Applied
+        at fetch time so out-of-range values — e.g. an unconstrained
+        optimizer step pushing anisotropic past 1, where
+        sqrt(1 - 0.9*aniso) goes NaN (ray_tracing.comp:826) — cannot poison
+        the render; also usable as a projection step in optimizers."""
+        unit = lambda a: jnp.clip(a, 0.0, 1.0)
+        return self.replace(
+            emissive=jnp.maximum(self.emissive, 0.0),
+            base_color=jnp.clip(self.base_color, 0.0, 1.0),
+            subsurface=unit(self.subsurface),
+            metallic=unit(self.metallic),
+            specular=unit(self.specular),
+            specular_tint=unit(self.specular_tint),
+            roughness=unit(self.roughness),
+            anisotropic=unit(self.anisotropic),
+            sheen=unit(self.sheen),
+            sheen_tint=unit(self.sheen_tint),
+            clearcoat=unit(self.clearcoat),
+            clearcoat_gloss=unit(self.clearcoat_gloss),
+            ior=jnp.maximum(self.ior, 1.0),
+            transmission=unit(self.transmission),
+        )
+
 
 @struct.dataclass
 class TriangleMesh:

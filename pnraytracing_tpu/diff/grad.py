@@ -202,5 +202,11 @@ def adam_optimize(
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # project back into the physical domain (clips also stop the
+        # forward-side sanitization from zeroing gradients forever)
+        if "materials" in params:
+            params["materials"] = params["materials"].sanitized()
+        if "env_image" in params:
+            params["env_image"] = jnp.maximum(params["env_image"], 0.0)
         losses.append(float(loss))
     return apply_params(scene, params), losses

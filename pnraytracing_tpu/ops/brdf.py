@@ -32,6 +32,7 @@ from pnraytracing_tpu.core.math import (
     mix,
     normalize,
     reflect,
+    safe_sqrt,
     sqr,
     tangent_to_world,
 )
@@ -68,11 +69,11 @@ def gtr2_aniso(ndoth, hdotx, hdoty, ax, ay):
 def smith_g_ggx(ndotv, alpha_g):
     a = sqr(alpha_g)
     b = sqr(ndotv)
-    return 1.0 / jnp.maximum(ndotv + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0)), _EPS)
+    return 1.0 / jnp.maximum(ndotv + safe_sqrt(a + b - a * b), _EPS)
 
 
 def smith_g_ggx_aniso(ndotv, vdotx, vdoty, ax, ay):
-    denom = ndotv + jnp.sqrt(sqr(vdotx * ax) + sqr(vdoty * ay) + sqr(ndotv))
+    denom = ndotv + safe_sqrt(sqr(vdotx * ax) + sqr(vdoty * ay) + sqr(ndotv))
     return 1.0 / jnp.maximum(denom, _EPS)
 
 
@@ -130,7 +131,7 @@ def disney_eval(
     ss = 1.25 * (fss * (1.0 / jnp.maximum(ndotl + ndotv, _EPS) - 0.5) + 0.5)
 
     # anisotropic specular
-    aspect = jnp.sqrt(jnp.maximum(1.0 - m.anisotropic * 0.9, 0.0))
+    aspect = safe_sqrt(1.0 - m.anisotropic * 0.9)
     ax = jnp.maximum(0.001, sqr(m.roughness) / jnp.maximum(aspect, _EPS))
     ay = jnp.maximum(0.001, sqr(m.roughness) * aspect)
     ds = gtr2_aniso(ndoth, dot(h, x), dot(h, y), ax, ay)
@@ -200,7 +201,7 @@ def _sample_h_local(r1, r2, cos_theta_h, compat: bool):
         sin_phi_h = jnp.sin(phi_h)
         cos_phi_h = 1.0 - sqr(sin_phi_h)
     else:
-        sin_theta_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - sqr(cos_theta_h)))
+        sin_theta_h = safe_sqrt(1.0 - sqr(cos_theta_h))
         sin_phi_h = jnp.sin(phi_h)
         cos_phi_h = jnp.cos(phi_h)
     return jnp.stack(
@@ -210,7 +211,7 @@ def _sample_h_local(r1, r2, cos_theta_h, compat: bool):
 
 def sample_gtr2_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
     """Specular lobe direction (SampleGTR2, comp:687-695)."""
-    cos_theta_h = jnp.sqrt((1.0 - r2) / (1.0 + (sqr(alpha) - 1.0) * r2))
+    cos_theta_h = safe_sqrt((1.0 - r2) / jnp.maximum(1.0 + (sqr(alpha) - 1.0) * r2, _EPS))
     h = tangent_to_world(t, b, n, _sample_h_local(r1, r2, cos_theta_h, compat))
     return reflect(v, h)
 
@@ -218,8 +219,8 @@ def sample_gtr2_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
 def sample_gtr1_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
     """Clearcoat lobe direction (SampleGTR1, comp:698-707)."""
     a2 = sqr(alpha)
-    cos_theta_h = jnp.sqrt(
-        jnp.maximum(0.0, (1.0 - jnp.power(a2, 1.0 - r2)) / jnp.maximum(1.0 - a2, _EPS))
+    cos_theta_h = safe_sqrt(
+        (1.0 - jnp.power(a2, 1.0 - r2)) / jnp.maximum(1.0 - a2, _EPS)
     )
     h = tangent_to_world(t, b, n, _sample_h_local(r1, r2, cos_theta_h, compat))
     return reflect(v, h)

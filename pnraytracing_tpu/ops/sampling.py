@@ -28,7 +28,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from pnraytracing_tpu.core.math import PI, TWO_PI
+from pnraytracing_tpu.core.math import PI, TWO_PI, safe_sqrt
 
 # --------------------------------------------------------------------------
 # wang_hash PRNG (ray_tracing.comp:499-506)
@@ -169,7 +169,7 @@ def pick_light(prefix_area: jnp.ndarray, total_area: jnp.ndarray, u: jnp.ndarray
 def sample_uniform_triangle(u1: jnp.ndarray, u2: jnp.ndarray):
     """Uniform barycentrics (UniformSampleTriangle, comp:598-601):
     b0 = 1 - sqrt(u1), b1 = u2 * sqrt(u1)."""
-    su = jnp.sqrt(u1)
+    su = safe_sqrt(u1)
     return 1.0 - su, u2 * su
 
 
@@ -189,17 +189,17 @@ def sample_cosine_hemisphere_local(
         x = r * jnp.sin(theta)
         y = r * jnp.cos(theta)
     else:
-        r = jnp.sqrt(u1)
+        r = safe_sqrt(u1)
         phi = TWO_PI * u2
         x = r * jnp.cos(phi)
         y = r * jnp.sin(phi)
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+    z = safe_sqrt(1.0 - x * x - y * y)
     return jnp.stack([x, y, z], axis=-1)
 
 
 def sample_uniform_hemisphere_local(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     """UniformSampleHemisphere (comp:590-595): z = u1, r = sqrt(1-z^2)."""
     z = u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = TWO_PI * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)

@@ -235,7 +235,7 @@ def render_rays(
     c = jnp.ones((r, 3), jnp.float32)
 
     for bounce in range(cfg.max_depth):
-        mat = materials.gather(mat_id)
+        mat = materials.gather(mat_id).sanitized()
         if compat:
             mat = apply_compat_material_decode(mat)
         if has_tex:
