@@ -27,6 +27,12 @@ class RenderConfig:
     # sequential tiles to bound live-state memory (stacks, path state).
     tile_pixels: int = 1 << 18
 
+    # Traversal tile: the batched while-loop runs until the slowest ray in
+    # the batch finishes (~5-6x more iterations than the mean ray needs);
+    # running it per tile of this many rays lets coherent tiles exit early.
+    # None disables tiling.
+    trav_tile: int | None = 4096
+
     # Sampler: 'sobol' uses Sobol + Cranley-Patterson rotation for the BRDF
     # lobe sample like the reference (ray_tracing.comp:928-929); 'hash' uses
     # pure counter-hash streams.

@@ -196,14 +196,16 @@ def render_rays(
     # Traversal dispatch: the packed layout (one row-gather per node visit /
     # triangle test) when the scene carries it, generic otherwise.
     if scene.trav is not None:
+        packed_kw = dict(trace_kw, tile_size=cfg.trav_tile)
+
         def _closest(o_, d_, tm_, mask_=None):
             return _stop_gradient_trace(
-                closest_hit_packed, scene.trav, o_, d_, tm_, mask_, **trace_kw
+                closest_hit_packed, scene.trav, o_, d_, tm_, mask_, **packed_kw
             )
 
         def _occluded(o_, d_, tm_, mask_=None):
             return _stop_gradient_trace(
-                any_hit_packed, scene.trav, o_, d_, tm_, mask_, **trace_kw
+                any_hit_packed, scene.trav, o_, d_, tm_, mask_, **packed_kw
             )
     else:
         def _closest(o_, d_, tm_, mask_=None):
