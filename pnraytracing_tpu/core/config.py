@@ -43,6 +43,15 @@ class RenderConfig:
     clamp_radiance: bool = True  # clamp color to [0,1] pre-accumulation
     # (ray_tracing.comp:988); biased but reference-faithful.
 
+    # Russian-roulette path termination from this bounce on (None = off,
+    # like the reference's fixed-depth loop).  Unbiased: survivors are
+    # reweighted by 1/p.
+    rr_start: int | None = None
+
+    # Per-contribution radiance clamp (firefly suppression; None = off).
+    # Biased, like the reference's [0,1] clamp but tunable.
+    max_radiance: float | None = None
+
     # MIS combine. 'reference' reproduces the GLSL estimator exactly
     # (comp:937-938: one-sample partial combine, BRDF-sampled env/emissive
     # contributions unweighted — slightly over-counts the BRDF strategy);

@@ -343,7 +343,12 @@ def render_rays(
                 p_b_env = jnp.maximum(disney_pdf(v_dir, nrm, en_l, mat), 0.0)
                 w_e = env_pdf / jnp.maximum(env_pdf + p_b_env, _EPS)
                 nee = nee + l_env * w_e[..., None]
-        lo = lo + jnp.where(active[..., None], c * nee, 0.0)
+        def clamp_contrib(x):
+            if cfg.max_radiance is not None:
+                return jnp.minimum(x, cfg.max_radiance)
+            return x
+
+        lo = lo + clamp_contrib(jnp.where(active[..., None], c * nee, 0.0))
 
         # --- continue the path (comp:950-969) -----------------------------
         b_origin = pos + nrm * 1e-4
@@ -358,7 +363,9 @@ def render_rays(
             w_b_env = (d_pdf / jnp.maximum(d_pdf + p_e_out, _EPS))[..., None]
         else:
             w_b_env = 1.0
-        lo = lo + jnp.where(miss_now[..., None], c * env_li_out * weight * w_b_env, 0.0)
+        lo = lo + clamp_contrib(
+            jnp.where(miss_now[..., None], c * env_li_out * weight * w_b_env, 0.0)
+        )
 
         # hit: emissive pickup (comp:966)
         pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(mesh, hit2, l_out, b_origin)
@@ -376,7 +383,9 @@ def render_rays(
             )[..., None]
         else:
             w_b_emis = 1.0
-        lo = lo + jnp.where(hit_now[..., None], c * emissive2 * weight * w_b_emis, 0.0)
+        lo = lo + clamp_contrib(
+            jnp.where(hit_now[..., None], c * emissive2 * weight * w_b_emis, 0.0)
+        )
 
         # throughput update and state roll (comp:968-969)
         c = jnp.where(hit_now[..., None], c * weight, c)
@@ -387,6 +396,17 @@ def render_rays(
         mat_id = jnp.where(hit_now, mat_id2, mat_id)
         tex_id = jnp.where(hit_now, tex_id2, tex_id)
         active = hit_now
+
+        # Russian roulette (not in the reference): unbiased stochastic
+        # termination of low-throughput paths
+        if cfg.rr_start is not None and bounce >= cfg.rr_start:
+            seed, u_rr = rand01(seed)
+            p_survive = jnp.clip(jnp.max(c, axis=-1), 0.05, 0.95)
+            survive = u_rr < p_survive
+            c = jnp.where(
+                (active & survive)[..., None], c / p_survive[..., None], c
+            )
+            active = active & survive
 
     # ---- compose (comp:983-988): primary emissive + path radiance on hit,
     # environment on miss
