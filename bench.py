@@ -28,7 +28,7 @@ import jax.numpy as jnp
 # Round-1 reference point for vs_baseline: the first measured number of this
 # framework on one TPU v5e chip (recorded in BASELINE.md).  Later rounds
 # report their speedup against it.
-BASELINE_RAYS_PER_S = 1.17e8
+BASELINE_RAYS_PER_S = 1.52e9
 
 
 def main() -> int:
