@@ -11,7 +11,9 @@ main.cpp:589-601) live in :mod:`pnraytracing_tpu.render.session`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -81,6 +83,34 @@ def render(
     for f in range(start_frame, start_frame + n):
         acc = acc + render_frame(scene, camera, cfg, f)
     return acc / jnp.float32(n)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+def render_average(
+    scene: Scene,
+    camera: Camera,
+    cfg: RenderConfig,
+    start_frame: jnp.ndarray,
+    spp: int,
+) -> jnp.ndarray:
+    """Mean of ``spp`` progressive samples computed in ONE compiled
+    program (``lax.fori_loop`` over the frame counter) — amortizes
+    dispatch for benchmarking and production rendering.  Assumes the frame
+    fits one dispatch (no host-side tiling)."""
+    px, py = pixel_coords(cfg)
+
+    def body(i, acc):
+        frame = jnp.asarray(start_frame, jnp.uint32) + jnp.uint32(i)
+        o, d, _ = camera_rays(
+            camera, cfg.width, cfg.height,
+            jitter=primary_jitter(px, py, frame, cfg),
+        )
+        return acc + render_rays(scene, o, d, px, py, frame, cfg)
+
+    acc = jax.lax.fori_loop(
+        0, spp, body, jnp.zeros((cfg.num_pixels, 3), jnp.float32)
+    )
+    return (acc / jnp.float32(spp)).reshape(cfg.height, cfg.width, 3)
 
 
 @struct.dataclass

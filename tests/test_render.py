@@ -137,3 +137,13 @@ def test_textured_scene_runs():
     flat = img.reshape(-1, 3)
     hit = flat[(flat != np.array([0.5, 0.5, 0.5])).any(axis=1)]
     assert (hit[:, 0] > hit[:, 2]).any() and (hit[:, 2] > hit[:, 0]).any()
+
+
+def test_render_average_matches_loop():
+    from pnraytracing_tpu.render.renderer import render_average
+
+    scene, cam = small_scene()
+    a = np.asarray(render(scene, cam, CFG, spp=3))
+    b = np.asarray(render_average(scene, cam, CFG, jnp.uint32(0), 3))
+    # fused accumulation reassociates float adds; ~1 ulp per sample
+    np.testing.assert_allclose(a, b, atol=1e-5)
