@@ -8,8 +8,6 @@ dynamic-gather passes per traversal step, the dominant cost on TPU.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

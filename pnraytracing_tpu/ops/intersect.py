@@ -23,8 +23,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
-from pnraytracing_tpu.core.math import FLOAT_MAX
-
 
 @struct.dataclass
 class Hit:

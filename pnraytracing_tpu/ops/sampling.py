@@ -28,7 +28,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from pnraytracing_tpu.core.math import PI, TWO_PI, safe_sqrt
+from pnraytracing_tpu.core.math import TWO_PI, safe_sqrt
 
 # --------------------------------------------------------------------------
 # wang_hash PRNG (ray_tracing.comp:499-506)

@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.types import Camera, Scene

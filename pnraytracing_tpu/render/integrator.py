@@ -46,7 +46,7 @@ from pnraytracing_tpu.core.math import (
     dot,
     normalize,
 )
-from pnraytracing_tpu.core.types import Camera, Scene, TriangleMesh
+from pnraytracing_tpu.core.types import Scene, TriangleMesh
 from pnraytracing_tpu.ops.brdf import (
     apply_compat_material_decode,
     disney_eval,

@@ -10,7 +10,6 @@ main.cpp:589-601) live in :mod:`pnraytracing_tpu.render.session`.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax

@@ -22,7 +22,6 @@ from pnraytracing_tpu.accel.bvh import BVHArrays, build_bvh, triangle_bounds
 from pnraytracing_tpu.accel.layout import MAX_PACKED_LEAF, pack_traversal_data
 from pnraytracing_tpu.core.types import (
     BVH,
-    EnvMap,
     Lights,
     Materials,
     Scene,
