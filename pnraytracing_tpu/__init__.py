@@ -20,6 +20,7 @@ position72/PnRayTracing (a Windows/OpenGL GLSL compute-shader path tracer):
 
 __version__ = "0.1.0"
 
+from pnraytracing_tpu.core.camera import CameraState, camera_rays, make_camera
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.types import (
     Camera,
@@ -30,12 +31,43 @@ from pnraytracing_tpu.core.types import (
     TriangleMesh,
 )
 
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keeps package import light)."""
+    if name in ("render", "render_frame", "render_average"):
+        from pnraytracing_tpu.render import renderer
+
+        return getattr(renderer, name)
+    if name == "render_rays":
+        from pnraytracing_tpu.render.integrator import render_rays
+
+        return render_rays
+    if name == "SceneBuilder":
+        from pnraytracing_tpu.scene.build import SceneBuilder
+
+        return SceneBuilder
+    if name == "RenderSession":
+        from pnraytracing_tpu.render.session import RenderSession
+
+        return RenderSession
+    raise AttributeError(f"module 'pnraytracing_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "RenderConfig",
     "Camera",
+    "CameraState",
     "EnvMap",
     "Lights",
     "Materials",
     "Scene",
     "TriangleMesh",
+    "SceneBuilder",
+    "RenderSession",
+    "make_camera",
+    "camera_rays",
+    "render",
+    "render_frame",
+    "render_average",
+    "render_rays",
 ]
