@@ -124,6 +124,7 @@ def dp_loss_and_grad(
     from pnraytracing_tpu.diff.grad import render_image_from_params
 
     n = mesh.shape[AXIS]
+    r = o.shape[0]
     (o_p, _), (d_p, _), (px_p, _), (py_p, _), (t_p, _) = (
         pad_to_multiple(o, n),
         pad_to_multiple(d, n),
@@ -131,26 +132,36 @@ def dp_loss_and_grad(
         pad_to_multiple(py, n),
         pad_to_multiple(target, n),
     )
+    # weight padded rows out of the loss (they render the environment and
+    # would otherwise contaminate gradients)
+    w_p, _ = pad_to_multiple(jnp.ones((r,), jnp.float32), n)
+    denom = jnp.float32(r * target.shape[-1])
 
-    def local(params, scene, frame_, o, d, px, py, target):
+    def local(params, scene, frame_, o, d, px, py, target, w):
         def f(p):
             img = render_image_from_params(p, scene, o, d, px, py, frame_, cfg)
-            return jnp.mean((img - target) ** 2)
+            return jnp.sum(w[:, None] * (img - target) ** 2)  # local sum
 
-        loss, grads = jax.value_and_grad(f)(params)
-        loss = jax.lax.pmean(loss, AXIS)
-        grads = jax.lax.pmean(grads, AXIS)
+        local_loss, grads = jax.value_and_grad(f)(params)
+        # collectives stay outside the differentiated function: summed
+        # local-sum losses/grads over the mesh, normalized by the global
+        # element count = exact global-mean MSE and its gradient
+        loss = jax.lax.psum(local_loss, AXIS) / denom
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, AXIS) / denom, grads
+        )
         return loss, grads
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(), P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return fn(
-        params, scene, jnp.asarray(frame, jnp.uint32), o_p, d_p, px_p, py_p, t_p
+        params, scene, jnp.asarray(frame, jnp.uint32), o_p, d_p, px_p, py_p,
+        t_p, w_p,
     )
 
 

@@ -93,3 +93,25 @@ def test_mesh_subset_sizes(setup):
         out = np.asarray(shard_render_rays(scene, o, d, px, py, 0, CFG, mesh))
         single = np.asarray(render_rays(scene, o, d, px, py, jnp.uint32(0), CFG))
         np.testing.assert_allclose(out, single, atol=1e-6)
+
+
+def test_dp_gradients_with_padding(setup):
+    """Ray counts not divisible by the mesh: padded rays must not
+    contaminate the loss or gradients."""
+    scene, o, d, px, py = setup
+    mesh = make_device_mesh(8)
+    n = 16 * 16 - 5  # not divisible by 8
+    params = extract_params(scene, ("materials",))
+    target = jnp.zeros((n, 3), jnp.float32)
+    loss_s, grads_s = loss_and_grad(
+        params, scene, o[:n], d[:n], px[:n], py[:n], jnp.uint32(0), target, CFG
+    )
+    loss_p, grads_p = dp_loss_and_grad(
+        params, scene, o[:n], d[:n], px[:n], py[:n], 0, target, CFG, mesh
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_p), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_s), jax.tree_util.tree_leaves(grads_p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-7)
