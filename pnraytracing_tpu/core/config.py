@@ -43,6 +43,13 @@ class RenderConfig:
     clamp_radiance: bool = True  # clamp color to [0,1] pre-accumulation
     # (ray_tracing.comp:988); biased but reference-faithful.
 
+    # Compact live rays to the front of the batch between bounces.  With
+    # tiled traversal, all-dead tiles drain their while loop immediately,
+    # so later bounces only pay for tiles that still hold live rays.
+    # Results are bit-identical (pure permutation; per-ray RNG state and
+    # pixel ids travel with the ray).
+    compact_rays: bool = True
+
     # Russian-roulette path termination from this bounce on (None = off,
     # like the reference's fixed-depth loop).  Unbiased: survivors are
     # reweighted by 1/p.

@@ -64,6 +64,7 @@ from pnraytracing_tpu.ops.sampling import (
     sobol_vec2,
     wang_hash,
 )
+from pnraytracing_tpu.ops.compaction import compact_indices
 from pnraytracing_tpu.ops.texture import fetch_base_color
 
 _EPS = 1e-10
@@ -235,6 +236,9 @@ def render_rays(
     v_dir = -d
     lo = jnp.zeros((r, 3), jnp.float32)
     c = jnp.ones((r, 3), jnp.float32)
+    # original ray id of each lane (identity until compaction permutes)
+    orig = jnp.arange(r, dtype=jnp.int32)
+    px_l, py_l = px, py
 
     for bounce in range(cfg.max_depth):
         mat = materials.gather(mat_id).sanitized()
@@ -300,7 +304,7 @@ def render_rays(
         if cfg.sampler == "sobol":
             su, sv = sobol_vec2(frame + 1, bounce)
             p2 = jnp.broadcast_to(jnp.stack([su, sv]), (r, 2))
-            p2 = cranley_patterson_rotation(p2, px, py, cfg.width, cfg.height)
+            p2 = cranley_patterson_rotation(p2, px_l, py_l, cfg.width, cfg.height)
             r1, r2 = p2[..., 0], p2[..., 1]
         else:
             seed, r1 = rand01(seed)
@@ -407,6 +411,22 @@ def render_rays(
                 (active & survive)[..., None], c / p_survive[..., None], c
             )
             active = active & survive
+
+        # pack live rays to the front so dead tiles drain instantly in the
+        # tiled traversal of the next bounce (pure permutation — RNG seed
+        # and pixel ids travel with the ray, radiance is unscrambled at
+        # the end)
+        if cfg.compact_rays and bounce < cfg.max_depth - 1:
+            perm, _ = compact_indices(active)
+            (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
+             orig, px_l, py_l) = jax.tree_util.tree_map(
+                lambda a: a[perm],
+                (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
+                 orig, px_l, py_l),
+            )
+
+    # restore original ray order after compaction permutations
+    lo = jnp.zeros_like(lo).at[orig].set(lo)
 
     # ---- compose (comp:983-988): primary emissive + path radiance on hit,
     # environment on miss
