@@ -34,6 +34,11 @@ MAX_PACKED_LEAF = _COUNT_MASK  # 15 triangles
 class TravData:
     nodes8: jnp.ndarray  # [N, 8] f32
     tri9: jnp.ndarray  # [T, 9] f32
+    # Wide layout: per INTERNAL node, both children's AABBs + encoded child
+    # infos + split axis in one [N, 16] row, so the traversal loop issues
+    # ONE node gather per iteration and iterates over internal nodes only
+    # (see accel/traverse_wide.py).  None when not packed.
+    nodes16: jnp.ndarray | None = None
 
 
 def pack_traversal_data(bvh: BVH, mesh: TriangleMesh) -> TravData:
@@ -56,7 +61,68 @@ def pack_traversal_data(bvh: BVH, mesh: TriangleMesh) -> TravData:
     )
     p = mesh.positions[mesh.indices]  # [T, 3, 3]
     tri9 = p.reshape(p.shape[0], 9)
-    return TravData(nodes8=nodes8, tri9=tri9)
+    return TravData(nodes8=nodes8, tri9=tri9, nodes16=pack_wide_nodes(bvh))
+
+
+def pack_wide_nodes(bvh: BVH) -> jnp.ndarray:
+    """[N, 16] f32 rows for the wide traversal: per internal node
+    ``[lmin(3), lmax(3), rmin(3), rmax(3), left_info, right_info, axis,
+    pad]``.
+
+    ``child_info >= 0`` is an internal child's node id; ``< 0`` encodes a
+    leaf as ``-(start | count << 26) - 1``.  Rows of leaf nodes are never
+    visited (their parents resolve them inline) and hold safe dummy values.
+    A leaf ROOT (scenes of <= 2 triangles) gets a synthetic row 0 whose left
+    "child" is the root leaf itself and whose right child is an empty box
+    with a zero-count leaf, so the traversal is uniform.
+    """
+    n = bvh.num_nodes
+    ids = jnp.arange(n, dtype=jnp.int32)
+    is_leaf = bvh.right_child < 0
+    count = bvh.end - bvh.start
+    meta = (
+        (bvh.start & _START_MASK)
+        | ((jnp.minimum(count, _COUNT_MASK) & _COUNT_MASK) << _START_BITS)
+    ).astype(jnp.int32)
+    leaf_info = -meta - 1
+
+    left = jnp.minimum(ids + 1, n - 1)
+    right = jnp.clip(bvh.right_child, 0, n - 1)
+
+    def info_of(ch):
+        return jnp.where(is_leaf[ch], leaf_info[ch], ch)
+
+    big = jnp.float32(3e38)
+    empty_min = jnp.full((3,), big, jnp.float32)
+    empty_max = jnp.full((3,), -big, jnp.float32)
+
+    rows = jnp.concatenate(
+        [
+            bvh.node_min[left],
+            bvh.node_max[left],
+            bvh.node_min[right],
+            bvh.node_max[right],
+            jax_bitcast_i2f(info_of(left))[:, None],
+            jax_bitcast_i2f(info_of(right))[:, None],
+            jax_bitcast_i2f(jnp.maximum(bvh.axis, 0))[:, None],
+            jnp.zeros((n, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    syn_row0 = jnp.concatenate(
+        [
+            bvh.node_min[0],
+            bvh.node_max[0],
+            empty_min,
+            empty_max,
+            jax_bitcast_i2f(leaf_info[0])[None],
+            jax_bitcast_i2f(jnp.int32(-1))[None],  # empty leaf: meta 0
+            jax_bitcast_i2f(jnp.int32(0))[None],
+            jnp.zeros((1,), jnp.float32),
+        ]
+    )
+    rows = rows.at[0].set(jnp.where(is_leaf[0], syn_row0, rows[0]))
+    return rows
 
 
 def jax_bitcast_i2f(x: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +135,27 @@ def jax_bitcast_f2i(x: jnp.ndarray) -> jnp.ndarray:
     import jax
 
     return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def unpack_wide_rows(rows: jnp.ndarray):
+    """[..., 16] row -> (lmin, lmax, rmin, rmax, left_info, right_info,
+    axis)."""
+    lmin = rows[..., 0:3]
+    lmax = rows[..., 3:6]
+    rmin = rows[..., 6:9]
+    rmax = rows[..., 9:12]
+    li = jax_bitcast_f2i(rows[..., 12])
+    ri = jax_bitcast_f2i(rows[..., 13])
+    axis = jax_bitcast_f2i(rows[..., 14])
+    return lmin, lmax, rmin, rmax, li, ri, axis
+
+
+def decode_leaf_info(info: jnp.ndarray):
+    """Negative child_info -> (start, count); count is 0 for non-leaves."""
+    meta = -info - 1
+    start = meta & _START_MASK
+    count = jnp.where(info < 0, (meta >> _START_BITS) & _COUNT_MASK, 0)
+    return start, count
 
 
 def unpack_node_rows(rows: jnp.ndarray):

@@ -33,6 +33,16 @@ class RenderConfig:
     # None disables tiling.
     trav_tile: int | None = 4096
 
+    # Traversal backend over the packed layout: 'packed' is the per-node
+    # [.,8] row-gather loop (accel/traverse_packed.py); 'wide' pops internal
+    # nodes only and issues one [.,16] node gather + one batched [., 2L]
+    # triangle gather per iteration (accel/traverse_wide.py).  Identical
+    # images.  Measured on one v5e chip (teapot_night 512p/4 bounces):
+    # packed 0.36 ms/frame, wide 1.92 ms — TPU gathers cost per gathered
+    # row, so the wide backend's bigger batched leaf gather loses despite
+    # fewer loop iterations; 'packed' stays the default.
+    traversal: str = "packed"
+
     # Sampler: 'sobol' uses Sobol + Cranley-Patterson rotation for the BRDF
     # lobe sample like the reference (ray_tracing.comp:928-929); 'hash' uses
     # pure counter-hash streams.
@@ -76,6 +86,7 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.sampler in ("sobol", "hash")
+        assert self.traversal in ("wide", "packed")
         assert self.mis in ("reference", "balanced")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"

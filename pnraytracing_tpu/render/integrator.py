@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from pnraytracing_tpu.accel.traverse import any_hit, closest_hit
 from pnraytracing_tpu.accel.traverse_packed import any_hit_packed, closest_hit_packed
+from pnraytracing_tpu.accel.traverse_wide import any_hit_wide, closest_hit_wide
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.math import (
     FLOAT_MAX,
@@ -198,15 +199,18 @@ def render_rays(
     # triangle test) when the scene carries it, generic otherwise.
     if scene.trav is not None:
         packed_kw = dict(trace_kw, tile_size=cfg.trav_tile)
+        use_wide = cfg.traversal == "wide" and scene.trav.nodes16 is not None
+        _closest_fn = closest_hit_wide if use_wide else closest_hit_packed
+        _occluded_fn = any_hit_wide if use_wide else any_hit_packed
 
         def _closest(o_, d_, tm_, mask_=None):
             return _stop_gradient_trace(
-                closest_hit_packed, scene.trav, o_, d_, tm_, mask_, **packed_kw
+                _closest_fn, scene.trav, o_, d_, tm_, mask_, **packed_kw
             )
 
         def _occluded(o_, d_, tm_, mask_=None):
             return _stop_gradient_trace(
-                any_hit_packed, scene.trav, o_, d_, tm_, mask_, **packed_kw
+                _occluded_fn, scene.trav, o_, d_, tm_, mask_, **packed_kw
             )
     else:
         def _closest(o_, d_, tm_, mask_=None):
