@@ -64,6 +64,19 @@ def test_bvh_and_flat_oracle_agree():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
+def test_wide_and_packed_renders_agree():
+    """Both packed-layout traversal backends must produce the same image
+    (tiny numerical slack: the wide backend's batched leaf pass lets XLA
+    reassociate the intersection FMA chain)."""
+    import dataclasses
+
+    scene, cam = small_scene()
+    cfg_w = dataclasses.replace(CFG, traversal="wide")
+    a = np.asarray(render_frame(scene, cam, CFG, 0))
+    b = np.asarray(render_frame(scene, cam, cfg_w, 0))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
 def test_emissive_pixels_show_emission():
     scene, cam_unused = small_scene()
     # look straight at the light from below
