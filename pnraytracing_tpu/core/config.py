@@ -60,6 +60,13 @@ class RenderConfig:
     # pixel ids travel with the ray).
     compact_rays: bool = True
 
+    # When compacting, additionally sort live rays by a spatial-directional
+    # coherence key (normal octant + position cell) so each traversal tile
+    # of the next bounce holds similar rays — the tile exits at its local
+    # max stack depth, so coherence converts directly into fewer loop
+    # iterations.  Pure permutation; images are bit-identical.
+    sort_rays: bool = False
+
     # Russian-roulette path termination from this bounce on (None = off,
     # like the reference's fixed-depth loop).  Unbiased: survivors are
     # reweighted by 1/p.

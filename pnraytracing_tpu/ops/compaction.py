@@ -47,3 +47,45 @@ def scatter_back(values: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
     """Undo ``x[perm]``: returns array y with y[perm[i]] = values[i]."""
     out = jnp.zeros_like(values)
     return out.at[perm].set(values)
+
+
+def coherence_key(nrm: jnp.ndarray, pos: jnp.ndarray,
+                  lo: jnp.ndarray, inv_extent: jnp.ndarray) -> jnp.ndarray:
+    """Spatial-directional coherence key for live-ray sorting.
+
+    Next-bounce rays leave from ``pos`` with directions distributed around
+    ``nrm`` (BRDF lobes) or toward fixed targets (shadow segments), so rays
+    with similar (normal octant, position cell) traverse similar BVH
+    subtrees.  Key layout, most-significant first: 3-bit normal octant,
+    2 bits per axis of quantized |n|, 2 bits per axis of the position cell
+    within the scene bounds — 15 bits total.
+    """
+    oct_ = (
+        (nrm[:, 0] > 0).astype(jnp.uint32) * 4
+        + (nrm[:, 1] > 0).astype(jnp.uint32) * 2
+        + (nrm[:, 2] > 0).astype(jnp.uint32)
+    )
+    qn = jnp.clip((jnp.abs(nrm) * 4).astype(jnp.uint32), 0, 3)
+    rel = (pos - lo) * inv_extent
+    qp = jnp.clip((rel * 4).astype(jnp.uint32), 0, 3)
+    key = oct_
+    for i in range(3):
+        key = key * 4 + qn[:, i]
+    for i in range(3):
+        key = key * 4 + qp[:, i]
+    return key
+
+
+def sort_live_first(mask: jnp.ndarray, key: jnp.ndarray):
+    """Permutation packing live lanes first, ordered by ``key`` (stable).
+
+    A strict generalization of :func:`compact_indices` (key=0 reduces to
+    it); used between bounces so coherent rays land in the same traversal
+    tile.  Pure permutation — results are bit-identical, only lane order
+    changes.
+    """
+    dead = (~mask).astype(jnp.uint32)
+    composite = dead * jnp.uint32(1 << 16) + key.astype(jnp.uint32)
+    perm = jnp.argsort(composite, stable=True).astype(jnp.int32)
+    count = jnp.sum(mask.astype(jnp.int32))
+    return perm, count

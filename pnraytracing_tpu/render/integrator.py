@@ -65,7 +65,11 @@ from pnraytracing_tpu.ops.sampling import (
     sobol_vec2,
     wang_hash,
 )
-from pnraytracing_tpu.ops.compaction import compact_indices
+from pnraytracing_tpu.ops.compaction import (
+    coherence_key,
+    compact_indices,
+    sort_live_first,
+)
 from pnraytracing_tpu.ops.texture import fetch_base_color
 
 _EPS = 1e-10
@@ -421,7 +425,17 @@ def render_rays(
         # and pixel ids travel with the ray, radiance is unscrambled at
         # the end)
         if cfg.compact_rays and bounce < cfg.max_depth - 1:
-            perm, _ = compact_indices(active)
+            if cfg.sort_rays and scene.trav is not None:
+                # group live rays by (normal octant, position cell) so each
+                # traversal tile of the next bounce sees coherent rays
+                root = scene.trav.nodes8[0]
+                lo_b, hi_b = root[0:3], root[3:6]
+                inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
+                perm, _ = sort_live_first(
+                    active, coherence_key(nrm, pos, lo_b, inv_ext)
+                )
+            else:
+                perm, _ = compact_indices(active)
             (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
              orig, px_l, py_l) = jax.tree_util.tree_map(
                 lambda a: a[perm],

@@ -109,11 +109,21 @@ def main():
     @section("spp-fused")
     def s2():
         for spp in (4, 16):
-            ms = timeit(render_average, scene, cam.basis(), cfg,
-                        jnp.uint32(0), spp, reps=5)
+            # checksum readback inside the timed region forces the device
+            # to actually produce every frame (guards against bogus timings)
+            def run(f0):
+                img = render_average(scene, cam.basis(), cfg, f0, spp)
+                return float(jnp.sum(img))
+            for _ in range(2):
+                run(jnp.uint32(0))
+            t0 = time.perf_counter()
+            reps = 5
+            ss = [run(jnp.uint32(7 * i)) for i in range(reps)]
+            ms = (time.perf_counter() - t0) / reps * 1e3
             log(f"render_average spp={spp}: {ms:.3f} ms total, "
                 f"{ms/spp:.4f} ms/frame "
-                f"({r * (1 + 3 * cfg.max_depth) * spp / ms / 1e6:.2f} G rays/s)")
+                f"({r * (1 + 3 * cfg.max_depth) * spp / ms / 1e6:.2f} G rays/s) "
+                f"checksums {[round(s, 1) for s in ss]}")
     s2()
 
     @section("primary")
@@ -122,20 +132,27 @@ def main():
         log(f"closest primary (coherent): {ms:.3f} ms")
     s3()
 
-    # realistic secondary state: hit points of the primaries + random dirs
-    hit = closest_hit_packed(scene.trav, o, d, t_inf, None, **kw)
+    # realistic secondary state: hit points of the primaries + random dirs.
+    # One jitted program (eager op-by-op is an RPC per op over the axon
+    # tunnel) and no bool readbacks (two prior runs faulted the device on
+    # exactly that transfer).
     rng = np.random.default_rng(0)
     rnd = rng.standard_normal((r, 3)).astype(np.float32)
     d2 = jnp.asarray(rnd / np.linalg.norm(rnd, axis=-1, keepdims=True))
-    tri = jnp.maximum(hit.tri, 0)
-    idx = scene.mesh.indices[tri]
-    p = scene.mesh.positions[idx]
-    b0 = (1.0 - hit.b1 - hit.b2)[:, None]
-    pos = b0 * p[:, 0] + hit.b1[:, None] * p[:, 1] + hit.b2[:, None] * p[:, 2]
-    pos = jnp.where(hit.valid[:, None], pos, 0.0)
-    mask = hit.valid
-    pos, d2, mask = jax.block_until_ready(jax.device_put((pos, d2, mask)))
-    n_live = int(np.asarray(mask).sum())
+
+    @jax.jit
+    def secondary_state(o, d, t_inf):
+        hit = closest_hit_packed(scene.trav, o, d, t_inf, None, **kw)
+        tri = jnp.maximum(hit.tri, 0)
+        idx = scene.mesh.indices[tri]
+        p = scene.mesh.positions[idx]
+        b0 = (1.0 - hit.b1 - hit.b2)[:, None]
+        pos = b0 * p[:, 0] + hit.b1[:, None] * p[:, 1] + hit.b2[:, None] * p[:, 2]
+        pos = jnp.where(hit.valid[:, None], pos, 0.0)
+        return pos, hit.valid, jnp.sum(hit.valid.astype(jnp.int32))
+
+    pos, mask, n_live_dev = jax.block_until_ready(secondary_state(o, d, t_inf))
+    n_live = int(np.asarray(n_live_dev))
 
     @section("bounce")
     def s4():

@@ -51,3 +51,35 @@ def test_all_and_none_live():
         perm, count = compact_indices(jnp.asarray(mask))
         assert int(count) == mask.sum()
         assert sorted(np.asarray(perm).tolist()) == list(range(64))
+
+
+def test_sort_live_first_is_keyed_permutation():
+    from pnraytracing_tpu.ops.compaction import sort_live_first
+
+    rng = np.random.default_rng(3)
+    mask = rng.random(256) < 0.4
+    key = rng.integers(0, 512, 256).astype(np.uint32)
+    perm, count = sort_live_first(jnp.asarray(mask), jnp.asarray(key))
+    perm = np.asarray(perm)
+    assert sorted(perm.tolist()) == list(range(256))  # permutation
+    assert int(count) == mask.sum()
+    # live lanes first, sorted by key; dead lanes after, sorted by key
+    m_s, k_s = mask[perm], key[perm]
+    assert m_s[: mask.sum()].all() and not m_s[mask.sum():].any()
+    assert (np.diff(k_s[: mask.sum()].astype(np.int64)) >= 0).all()
+
+
+def test_coherence_key_in_range_and_groups_octants():
+    from pnraytracing_tpu.ops.compaction import coherence_key
+
+    rng = np.random.default_rng(5)
+    n = rng.standard_normal((128, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    pos = rng.random((128, 3)).astype(np.float32) * 4 - 2
+    lo = jnp.asarray([-2.0, -2.0, -2.0])
+    inv = jnp.asarray([0.25, 0.25, 0.25])
+    key = np.asarray(coherence_key(jnp.asarray(n), jnp.asarray(pos), lo, inv))
+    assert (key < (1 << 15)).all()
+    # most-significant bits are the normal octant
+    oct_ = (n[:, 0] > 0) * 4 + (n[:, 1] > 0) * 2 + (n[:, 2] > 0)
+    np.testing.assert_array_equal(key >> 12, oct_.astype(np.uint32))

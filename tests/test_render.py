@@ -160,3 +160,16 @@ def test_render_average_matches_loop():
     b = np.asarray(render_average(scene, cam, CFG, jnp.uint32(0), 3))
     # fused accumulation reassociates float adds; ~1 ulp per sample
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_sorted_compaction_bit_identical():
+    """sort_rays reorders lanes between bounces but must not change any
+    pixel: the permutation carries all per-ray state including RNG."""
+    import dataclasses
+
+    scene, cam = small_scene()
+    cfg_s = dataclasses.replace(CFG, sort_rays=True, max_depth=3)
+    cfg_p = dataclasses.replace(CFG, sort_rays=False, max_depth=3)
+    a = np.asarray(render_frame(scene, cam, cfg_s, 2))
+    b = np.asarray(render_frame(scene, cam, cfg_p, 2))
+    np.testing.assert_array_equal(a, b)
