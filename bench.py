@@ -11,6 +11,12 @@ pixel's path issues (primary + per-bounce: light shadow + env shadow +
 continuation), i.e. rays/pixel = 1 + 3 * depth.  ``--bwd`` measures the
 forward+backward step (gradients to materials + env texels) instead.
 
+Methodology: one frame is ~0.2-0.5 ms of device time, far below host
+dispatch overhead, so the frame loop runs INSIDE one compiled program
+(``lax.fori_loop`` for forward, a rematerialized ``lax.scan`` under
+``jax.grad`` for forward+backward) and the harness times whole multi-frame
+calls — the reference's progressive accumulation (main.cpp:628), compiled.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "rays/s/chip", "vs_baseline": N}
 """
@@ -18,6 +24,7 @@ Prints exactly one JSON line:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -36,63 +43,94 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--frames", type=int, default=8, help="timed frames")
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=128,
+                    help="total timed frames (1 spp each)")
+    ap.add_argument("--frames-per-call", type=int, default=32,
+                    help="frames accumulated inside one compiled program")
+    ap.add_argument("--warmup", type=int, default=1, help="warmup calls")
     ap.add_argument("--bwd", action="store_true",
                     help="benchmark forward+backward instead of forward")
     ap.add_argument("--env-height", type=int, default=256)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from pnraytracing_tpu.core.camera import camera_rays
     from pnraytracing_tpu.core.config import RenderConfig
-    from pnraytracing_tpu.render.integrator import render_rays
-    from pnraytracing_tpu.render.renderer import pixel_coords
+    from pnraytracing_tpu.render.renderer import pixel_coords, render_average
     from pnraytracing_tpu.scene.scenes import config3_teapot_night
     from pnraytracing_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
 
+    k = max(1, args.frames_per_call)
+    n_calls = max(1, args.frames // k)
+    frames = n_calls * k
+
     cfg = RenderConfig(width=args.width, height=args.height, max_depth=args.depth)
     scene, cam_state = config3_teapot_night(env_height=args.env_height)
     cam_state.aspect = args.width / args.height
     camera = cam_state.basis()
-    px, py = pixel_coords(cfg)
-    o, d, _ = camera_rays(camera, cfg.width, cfg.height)
     scene = jax.device_put(scene)
 
     if args.bwd:
-        from pnraytracing_tpu.diff.grad import extract_params, loss_and_grad
+        from pnraytracing_tpu.diff.grad import (
+            extract_params,
+            render_image_from_params,
+        )
 
+        px, py = pixel_coords(cfg)
+        o, d, _ = camera_rays(camera, cfg.width, cfg.height)
         params = extract_params(scene, ("materials", "env_image"))
         target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
 
-        def step(frame):
-            loss, grads = loss_and_grad(
-                params, scene, o, d, px, py, frame, target, cfg
-            )
+        @functools.partial(jax.jit, donate_argnums=())
+        def step(p, start):
+            def f(pp):
+                @jax.checkpoint
+                def body(acc, i):
+                    img = render_image_from_params(
+                        pp, scene, o, d, px, py, start + i, cfg
+                    )
+                    return acc + jnp.mean((img - target) ** 2), None
+
+                loss, _ = jax.lax.scan(
+                    body, jnp.float32(0.0), jnp.arange(k, dtype=jnp.uint32)
+                )
+                return loss / k
+
+            return jax.value_and_grad(f)(p)
+
+        def run(call_idx):
+            loss, grads = step(params, jnp.uint32(call_idx * k))
             return loss
 
     else:
 
-        def step(frame):
-            return render_rays(scene, o, d, px, py, frame, cfg)
+        def run(call_idx):
+            return render_average(
+                scene, camera, cfg, jnp.uint32(call_idx * k), k
+            )
 
     # warmup / compile
     for i in range(args.warmup):
-        jax.block_until_ready(step(jnp.uint32(i)))
+        jax.block_until_ready(run(0))
 
     t0 = time.perf_counter()
-    for i in range(args.frames):
-        out = step(jnp.uint32(args.warmup + i))
+    for i in range(n_calls):
+        out = run(i)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    rays_per_frame = cfg.num_pixels * (1 + 3 * cfg.max_depth)
-    rays_per_s = rays_per_frame * args.frames / dt
+    rays_total = cfg.num_pixels * (1 + 3 * cfg.max_depth) * frames
+    rays_per_s = rays_total / dt
+    mode = "fwd+bwd" if args.bwd else "fwd"
     metric = (
-        "rays/s/chip fwd+bwd (512x512, 1spp, 4 bounces, teapot_night)"
-        if args.bwd
-        else "rays/s/chip fwd (512x512, 1spp, 4 bounces, teapot_night)"
+        f"rays/s/chip {mode} ({args.width}x{args.height}, 1spp, "
+        f"{args.depth} bounces, teapot_night)"
     )
     print(json.dumps({
         "metric": metric,

@@ -10,33 +10,16 @@ everything transparently falls back to the numpy builder.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
 from pnraytracing_tpu.accel.bvh import BVHArrays
-
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "csrc", "bvh_builder.cpp")
-_LIB = os.path.join(_REPO_ROOT, "build", "libpnrt_native.so")
+from pnraytracing_tpu.utils.nativelib import get_lib
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
-
-
-def _compile() -> bool:
-    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _LIB, _SRC,
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError):
-        return False
 
 
 def _load():
@@ -45,15 +28,8 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            if not os.path.exists(_SRC) or not _compile():
-                return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
+        lib = get_lib()
+        if lib is None:
             return None
         lib.pnrt_build_bvh.restype = ctypes.c_int
         lib.pnrt_build_bvh.argtypes = [

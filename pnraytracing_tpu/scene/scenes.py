@@ -14,7 +14,8 @@ import os
 import numpy as np
 
 from pnraytracing_tpu.core.camera import CameraState
-from pnraytracing_tpu.io.hdr import procedural_sky, read_hdr
+from pnraytracing_tpu.io import read_hdr
+from pnraytracing_tpu.io.hdr import procedural_sky
 from pnraytracing_tpu.scene import shapes
 from pnraytracing_tpu.scene.build import SceneBuilder
 from pnraytracing_tpu.scene.transform import compose, rotate, scale, translate
@@ -227,7 +228,7 @@ def config4_marry(aspect: float = 1.0):
     b = SceneBuilder()
     marry_obj = "/root/reference/model/marry/marry.obj"
     if os.path.exists(marry_obj):
-        from pnraytracing_tpu.io.obj import load_obj
+        from pnraytracing_tpu.io import load_obj
 
         for mesh, mat, tex, name in load_obj(marry_obj):
             mat.setdefault("base_color", (0.8, 0.8, 0.8))
