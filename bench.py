@@ -50,6 +50,10 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=1, help="warmup calls")
     ap.add_argument("--bwd", action="store_true",
                     help="benchmark forward+backward instead of forward")
+    ap.add_argument("--no-replay", action="store_true",
+                    help="with --bwd: differentiate the live integrator "
+                    "(rematerialized traversal) instead of the trace/replay "
+                    "split")
     ap.add_argument("--env-height", type=int, default=256)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
@@ -78,8 +82,13 @@ def main() -> int:
 
     if args.bwd:
         from pnraytracing_tpu.diff.grad import (
+            apply_params,
             extract_params,
             render_image_from_params,
+        )
+        from pnraytracing_tpu.render.integrator import (
+            render_rays_replay,
+            trace_paths,
         )
 
         px, py = pixel_coords(cfg)
@@ -87,22 +96,57 @@ def main() -> int:
         params = extract_params(scene, ("materials", "env_image"))
         target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
 
-        @functools.partial(jax.jit, donate_argnums=())
-        def step(p, start):
-            def f(pp):
-                @jax.checkpoint
-                def body(acc, i):
-                    img = render_image_from_params(
-                        pp, scene, o, d, px, py, start + i, cfg
+        if args.no_replay:
+            # differentiate the live integrator; jax.checkpoint makes the
+            # backward pass re-run every BVH traversal
+            @functools.partial(jax.jit, donate_argnums=())
+            def step(p, start):
+                def f(pp):
+                    @jax.checkpoint
+                    def body(acc, i):
+                        img = render_image_from_params(
+                            pp, scene, o, d, px, py, start + i, cfg
+                        )
+                        return acc + jnp.mean((img - target) ** 2), None
+
+                    loss, _ = jax.lax.scan(
+                        body, jnp.float32(0.0), jnp.arange(k, dtype=jnp.uint32)
                     )
-                    return acc + jnp.mean((img - target) ** 2), None
+                    return loss / k
 
-                loss, _ = jax.lax.scan(
-                    body, jnp.float32(0.0), jnp.arange(k, dtype=jnp.uint32)
-                )
-                return loss / k
+                return jax.value_and_grad(f)(p)
 
-            return jax.value_and_grad(f)(p)
+        else:
+            # trace/replay split: traversal runs ONCE per frame (forward
+            # only); the differentiated graph is the while-loop-free replay
+            @functools.partial(jax.jit, donate_argnums=())
+            def step(p, start):
+                scene_now = apply_params(scene, jax.lax.stop_gradient(p))
+                steps_u32 = jnp.arange(k, dtype=jnp.uint32)
+
+                def trace_body(carry, i):
+                    return carry, trace_paths(
+                        scene_now, o, d, px, py, start + i, cfg
+                    )
+
+                _, recs = jax.lax.scan(trace_body, 0, steps_u32)
+
+                def f(pp):
+                    @jax.checkpoint
+                    def body(acc, xs):
+                        i, rec = xs
+                        img = render_rays_replay(
+                            apply_params(scene, pp), o, d, px, py,
+                            start + i, cfg, rec,
+                        )
+                        return acc + jnp.mean((img - target) ** 2), None
+
+                    loss, _ = jax.lax.scan(
+                        body, jnp.float32(0.0), (steps_u32, recs)
+                    )
+                    return loss / k
+
+                return jax.value_and_grad(f)(p)
 
         def run(call_idx):
             loss, grads = step(params, jnp.uint32(call_idx * k))

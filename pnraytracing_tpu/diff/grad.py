@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.types import Camera, Scene
 from pnraytracing_tpu.ops.envmap import build_envmap
-from pnraytracing_tpu.render.integrator import render_rays
+from pnraytracing_tpu.render.integrator import (
+    render_rays,
+    render_rays_replay,
+    trace_paths,
+)
 
 PARAM_KEYS = ("materials", "env_image", "positions")
 
@@ -167,6 +171,52 @@ def loss_and_grad(
     return jax.value_and_grad(f)(params)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+def loss_and_grad_replay(
+    params: dict,
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame,
+    target: jnp.ndarray,
+    cfg: RenderConfig,
+    spp: int = 1,
+):
+    """Same estimator and gradients as :func:`loss_and_grad`, via the
+    trace/replay split: each sample's BVH traversals run ONCE (forward only,
+    with the current parameter values) and the differentiated function is
+    the while-loop-free replay — the backward pass never re-walks the BVH.
+    Identical loss values bit-for-bit; gradients match because every
+    recorded quantity (hit ids, occlusion bits) is exactly the set the live
+    integrator already detaches with ``stop_gradient``."""
+    scene_now = apply_params(scene, jax.lax.stop_gradient(params))
+    recs = [
+        trace_paths(scene_now, o, d, px, py, jnp.uint32(frame) + jnp.uint32(j), cfg)
+        for j in range(spp)
+    ]
+
+    def renders(p, j0, k):
+        img = jnp.zeros_like(target)
+        for j in range(j0, j0 + k):
+            img = img + render_rays_replay(
+                apply_params(scene, p), o, d, px, py,
+                jnp.uint32(frame) + jnp.uint32(j), cfg, recs[j],
+            )
+        return img / k
+
+    def f(p):
+        if spp >= 2:
+            ka = spp // 2
+            a = renders(p, 0, ka)
+            b = renders(p, ka, spp - ka)
+            return jnp.mean((a - target) * (b - target))
+        return jnp.mean((renders(p, 0, 1) - target) ** 2)
+
+    return jax.value_and_grad(f)(params)
+
+
 def adam_optimize(
     scene: Scene,
     camera: Camera,
@@ -177,10 +227,12 @@ def adam_optimize(
     lr: float = 2e-2,
     frame_offset: int = 0,
     spp_per_step: int = 4,
+    use_replay: bool = True,
 ):
     """Small self-contained inverse-rendering loop (BASELINE config 5's
     "differentiable material/env optimization").  Returns (optimized scene,
-    loss history)."""
+    loss history).  ``use_replay`` picks the trace/replay gradient step
+    (traversal excluded from the backward pass, same gradients)."""
     import optax
 
     from pnraytracing_tpu.core.camera import camera_rays
@@ -193,9 +245,10 @@ def adam_optimize(
     o, d, _ = camera_rays(camera, cfg.width, cfg.height)
     target = jnp.asarray(target_image, jnp.float32).reshape(-1, 3)
 
+    grad_fn = loss_and_grad_replay if use_replay else loss_and_grad
     losses = []
     for step in range(steps):
-        loss, grads = loss_and_grad(
+        loss, grads = grad_fn(
             params, scene, o, d, px, py,
             jnp.uint32(frame_offset + step * spp_per_step), target, cfg,
             spp=spp_per_step,

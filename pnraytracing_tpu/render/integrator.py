@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from pnraytracing_tpu.accel.traverse import any_hit, closest_hit
 from pnraytracing_tpu.accel.traverse_packed import any_hit_packed, closest_hit_packed
@@ -73,6 +74,33 @@ from pnraytracing_tpu.ops.compaction import (
 from pnraytracing_tpu.ops.texture import fetch_base_color
 
 _EPS = 1e-10
+
+
+@struct.dataclass
+class TraceRecords:
+    """Every traversal result of one frame, captured in ORIGINAL ray order.
+
+    The traversal queries (``lax.while_loop`` BVH walks) are the expensive,
+    non-differentiable part of a frame; everything else is pure shading math.
+    Recording their outputs lets a replay pass reproduce the frame
+    bit-identically with ZERO traversals — so a gradient step can trace once
+    (forward only) and differentiate the cheap shading-only replay, instead
+    of rematerializing the full traversal inside the backward pass.
+
+    Validity: a replay is only exact for the same scene parameters the trace
+    ran with (path-replay — the discrete quantities recorded here are
+    piecewise-constant in the parameters, exactly the set ``stop_gradient``
+    already detaches in the live integrator, so gradients are unchanged).
+
+    Shapes: ``primary`` is a [R] Hit; the per-bounce arrays are stacked
+    [max_depth, R]; ``light_occ``/``env_occ`` are None when the scene has no
+    area lights / no environment map.
+    """
+
+    primary: Hit
+    light_occ: jnp.ndarray | None
+    env_occ: jnp.ndarray | None
+    bounce: Hit
 
 
 def _stop_gradient_trace(fn, *args, **kw):
@@ -157,8 +185,7 @@ def _safe_inv(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.abs(x) > _EPS, 1.0 / jnp.where(x == 0, 1.0, x), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_rays(
+def _render_rays(
     scene: Scene,
     o: jnp.ndarray,
     d: jnp.ndarray,
@@ -166,14 +193,23 @@ def render_rays(
     py: jnp.ndarray,
     frame: jnp.ndarray,
     cfg: RenderConfig,
-) -> jnp.ndarray:
+    records: TraceRecords | None,
+    record: bool,
+):
     """Trace one sample for a batch of primary rays.
 
     o, d: [R, 3] primary rays; px, py: [R] pixel coordinates in the
     reference's GL convention (x = column, y = row counted from the bottom)
     — used for the RNG stream seed (comp:977-979) and Cranley-Patterson
-    rotation; frame: scalar frame counter.  Returns [R, 3] radiance.
+    rotation; frame: scalar frame counter.  Returns ([R, 3] radiance,
+    TraceRecords | None).
+
+    ``records`` switches the pass into replay mode: every traversal is
+    replaced by its recorded result (compaction is skipped — records are in
+    original ray order), making the pass while-loop-free and cheap to
+    differentiate.  ``record=True`` captures the records during a live pass.
     """
+    replay = records is not None
     compat = cfg.compat_pnrt
     has_env = scene.env is not None
     has_lights = scene.lights.count > 0
@@ -228,8 +264,12 @@ def render_rays(
             )
 
     # ---- primary hit (comp:983) -----------------------------------------
-    hit = _closest(o, d, t_max0)
+    hit = records.primary if replay else _closest(o, d, t_max0)
     primary_hit = hit.valid
+    rec_primary = hit  # original order: no compaction has happened yet
+    rec_light_occ: list = []
+    rec_env_occ: list = []
+    rec_bounce: list = []
 
     def env_radiance(dirs):
         if has_env:
@@ -271,7 +311,14 @@ def render_rays(
             sdir = lp - pos  # unnormalized segment (comp:887)
             s_origin = pos + nrm * 1e-4
             s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
-            occluded = _occluded(s_origin, sdir, s_tmax, active)
+            if replay:
+                occluded = records.light_occ[bounce]
+            else:
+                occluded = _occluded(s_origin, sdir, s_tmax, active)
+                if record:
+                    rec_light_occ.append(
+                        jnp.zeros((r,), bool).at[orig].set(occluded)
+                    )
             dis2 = dot(sdir, sdir)
             lnorm = normalize(sdir)
             cos_l = jnp.abs(dot(ln, -lnorm))
@@ -297,7 +344,12 @@ def render_rays(
             # (comp:918); default adds the same normal epsilon as elsewhere.
             e_origin = pos if compat else pos + nrm * 1e-4
             facing = dot(en_l, nrm) > 0
-            e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
+            if replay:
+                e_occ = records.env_occ[bounce]
+            else:
+                e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
+                if record:
+                    rec_env_occ.append(jnp.zeros((r,), bool).at[orig].set(e_occ))
             env_pdf = jnp.where(active, env_pdf_raw, 0.0)  # pdf always counted
             take = active & facing & ~e_occ
             env_f = disney_eval(v_dir, nrm, en_l, t_tan, b_tan, mat)
@@ -364,7 +416,16 @@ def render_rays(
 
         # --- continue the path (comp:950-969) -----------------------------
         b_origin = pos + nrm * 1e-4
-        hit2 = _closest(b_origin, l_out, t_max0, active)
+        if replay:
+            hit2 = jax.tree_util.tree_map(lambda a: a[bounce], records.bounce)
+        else:
+            hit2 = _closest(b_origin, l_out, t_max0, active)
+            if record:
+                rec_bounce.append(
+                    jax.tree_util.tree_map(
+                        lambda a: jnp.zeros_like(a).at[orig].set(a), hit2
+                    )
+                )
         weight = d_f * (n_dot_l * _safe_inv(d_pdf))[..., None]
 
         # miss: environment radiance through the BRDF sample (comp:956-963)
@@ -424,7 +485,7 @@ def render_rays(
         # tiled traversal of the next bounce (pure permutation — RNG seed
         # and pixel ids travel with the ray, radiance is unscrambled at
         # the end)
-        if cfg.compact_rays and bounce < cfg.max_depth - 1:
+        if cfg.compact_rays and not replay and bounce < cfg.max_depth - 1:
             if cfg.sort_rays and scene.trav is not None:
                 # group live rays by (normal octant, position cell) so each
                 # traversal tile of the next bounce sees coherent rays
@@ -454,4 +515,67 @@ def render_rays(
     color = jnp.where(primary_hit[..., None], primary_emissive + lo, miss_color)
     if cfg.clamp_radiance:
         color = jnp.clip(color, 0.0, 1.0)
+
+    recs_out = None
+    if record:
+        recs_out = TraceRecords(
+            primary=rec_primary,
+            light_occ=jnp.stack(rec_light_occ) if has_lights else None,
+            env_occ=jnp.stack(rec_env_occ) if has_env else None,
+            bounce=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rec_bounce),
+        )
+    return color, recs_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_rays(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame: jnp.ndarray,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """[R, 3] radiance for one sample of a batch of primary rays (live
+    traversal).  See :func:`_render_rays` for argument conventions."""
+    color, _ = _render_rays(scene, o, d, px, py, frame, cfg, None, False)
+    return color
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def trace_paths(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame: jnp.ndarray,
+    cfg: RenderConfig,
+) -> TraceRecords:
+    """Run the frame forward and capture every traversal result (the
+    trace phase of a trace/replay gradient step).  Not differentiable —
+    call with parameter *values* only."""
+    _, recs = _render_rays(
+        jax.lax.stop_gradient(scene), o, d, px, py, frame, cfg, None, True
+    )
+    return recs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_rays_replay(
+    scene: Scene,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame: jnp.ndarray,
+    cfg: RenderConfig,
+    records: TraceRecords,
+) -> jnp.ndarray:
+    """Reproduce a frame from its trace records WITHOUT any traversal:
+    bit-identical radiance when ``scene`` carries the same parameter values
+    the trace ran with, and a while-loop-free graph that is cheap to
+    differentiate (the backward pass never re-walks the BVH)."""
+    color, _ = _render_rays(scene, o, d, px, py, frame, cfg, records, False)
     return color
