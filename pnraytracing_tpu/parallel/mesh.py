@@ -117,11 +117,24 @@ def dp_loss_and_grad(
     target: jnp.ndarray,
     cfg: RenderConfig,
     mesh: Mesh,
+    use_replay: bool = False,
 ):
     """Data-parallel value+grad: rays sharded over ``tiles``, loss/grads
     ``pmean``-reduced over the mesh (the psum the survey's distribution
-    table calls for).  Returns replicated (loss, grads)."""
-    from pnraytracing_tpu.diff.grad import render_image_from_params
+    table calls for).  Returns replicated (loss, grads).
+
+    ``use_replay`` runs each chip's shard through the trace/replay split
+    (traversal once, forward-only; backward over the while-loop-free
+    replay) — it composes with the sharding because both phases are
+    per-ray."""
+    from pnraytracing_tpu.diff.grad import (
+        apply_params,
+        render_image_from_params,
+    )
+    from pnraytracing_tpu.render.integrator import (
+        render_rays_replay,
+        trace_paths,
+    )
 
     n = mesh.shape[AXIS]
     r = o.shape[0]
@@ -138,8 +151,21 @@ def dp_loss_and_grad(
     denom = jnp.float32(r * target.shape[-1])
 
     def local(params, scene, frame_, o, d, px, py, target, w):
+        if use_replay:
+            recs = trace_paths(
+                apply_params(scene, jax.lax.stop_gradient(params)),
+                o, d, px, py, frame_, cfg,
+            )
+
         def f(p):
-            img = render_image_from_params(p, scene, o, d, px, py, frame_, cfg)
+            if use_replay:
+                img = render_rays_replay(
+                    apply_params(scene, p), o, d, px, py, frame_, cfg, recs
+                )
+            else:
+                img = render_image_from_params(
+                    p, scene, o, d, px, py, frame_, cfg
+                )
             return jnp.sum(w[:, None] * (img - target) ** 2)  # local sum
 
         local_loss, grads = jax.value_and_grad(f)(params)
@@ -173,13 +199,15 @@ def dp_train_step(
     o, d, px, py, frame, target,
     cfg: RenderConfig,
     mesh: Mesh,
+    use_replay: bool = False,
 ):
     """One full data-parallel training step: sharded forward+backward,
     gradient pmean over ICI, replicated optimizer update."""
     import optax
 
     loss, grads = dp_loss_and_grad(
-        params, scene, o, d, px, py, frame, target, cfg, mesh
+        params, scene, o, d, px, py, frame, target, cfg, mesh,
+        use_replay=use_replay,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)

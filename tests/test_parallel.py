@@ -86,6 +86,27 @@ def test_dp_gradients_match_single_device(setup):
                                    atol=1e-7)
 
 
+def test_dp_replay_gradients_match(setup):
+    """The trace/replay dp step must give the same loss and gradients as
+    the live dp step (same estimator; traversal hoisted out of autodiff)."""
+    scene, o, d, px, py = setup
+    mesh = make_device_mesh(8)
+    params = extract_params(scene, ("materials",))
+    target = jnp.zeros((o.shape[0], 3), jnp.float32)
+    loss_a, grads_a = dp_loss_and_grad(
+        params, scene, o, d, px, py, 0, target, CFG, mesh
+    )
+    loss_b, grads_b = dp_loss_and_grad(
+        params, scene, o, d, px, py, 0, target, CFG, mesh, use_replay=True
+    )
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads_a), jax.tree_util.tree_leaves(grads_b)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-8)
+
+
 def test_mesh_subset_sizes(setup):
     scene, o, d, px, py = setup
     for n in (2, 4):
