@@ -55,6 +55,31 @@ def load_obj(path: str, flip_v: bool = True):
     return py_load_obj(path, flip_v=flip_v)
 
 
+def load_model(path: str):
+    """Load any supported mesh format by extension.
+
+    * ``.obj`` -> list of (mesh, material, texture, name) groups
+    * ``.ply`` -> single mesh dict
+    * ``.gltf``/``.glb`` -> list of (mesh, material, texture, name,
+      transform, texture_key) primitives
+
+    The reference funnels every format through assimp (model.hpp:25);
+    here each parser is from scratch (io/obj.py, io/ply.py, io/gltf.py).
+    """
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "obj":
+        return load_obj(path)
+    if ext == "ply":
+        from pnraytracing_tpu.io.ply import load_ply
+
+        return load_ply(path)
+    if ext in ("gltf", "glb"):
+        from pnraytracing_tpu.io.gltf import load_gltf
+
+        return load_gltf(path)
+    raise ValueError(f"unsupported model format .{ext}")
+
+
 def save_png(path: str, image: np.ndarray, gamma: float = 2.2) -> None:
     """Save [H, W, 3] linear float image to PNG (native if available)."""
     n = _native()
