@@ -157,16 +157,21 @@ def main() -> int:
         def run(call_idx):
             return render_average(
                 scene, camera, cfg, jnp.uint32(call_idx * k), k
-            )
+            ).sum()
 
-    # warmup / compile
+    # warmup / compile.  Timing note: the result is FETCHED to the host (a
+    # scalar), not merely block_until_ready'd — on the tunneled TPU
+    # platform a dispatch can report ready before the program has actually
+    # executed, which silently inflates throughput numbers; the device
+    # executes programs in order, so fetching the last call's scalar
+    # bounds the wall time of every timed dispatch.
     for i in range(args.warmup):
-        jax.block_until_ready(run(0))
+        float(run(0))
 
     t0 = time.perf_counter()
     for i in range(n_calls):
         out = run(i)
-    jax.block_until_ready(out)
+    float(out)
     dt = time.perf_counter() - t0
 
     rays_total = cfg.num_pixels * (1 + 3 * cfg.max_depth) * frames

@@ -47,9 +47,69 @@ SCENES = ["cornell", "flat", "teapot", "teapot_night", "marry",
           "config1", "config2", "config3", "config4", "config5"]
 
 
+def scene_from_file(path: str, aspect: float):
+    """Studio setup around an arbitrary model file (OBJ/PLY/glTF/GLB):
+    the asset auto-framed on a floor under an area light + sky — the
+    CLI counterpart of the reference's `Model(path, modelMatrix, ...)`
+    scene functions (main.cpp:198-347)."""
+    import numpy as np
+
+    from pnraytracing_tpu.core.camera import CameraState
+    from pnraytracing_tpu.io import load_model
+    from pnraytracing_tpu.scene import shapes
+    from pnraytracing_tpu.scene.build import SceneBuilder
+    from pnraytracing_tpu.scene.transform import compose, rotate, translate
+
+    b = SceneBuilder()
+    groups = load_model(path)
+    if isinstance(groups, dict):  # PLY: bare mesh
+        b.add(groups, dict(base_color=(0.75, 0.71, 0.68), roughness=0.5),
+              name=os.path.basename(path))
+    else:
+        for g in groups:
+            if len(g) == 4:  # OBJ: (mesh, material, texture, name)
+                mesh, mat, tex, name = g
+                b.add(mesh, mat, name=name, texture=tex)
+            else:  # glTF: (mesh, material, texture, name, transform, key)
+                mesh, mat, tex, name, m, tex_key = g
+                b.add(mesh, mat, name=name, transform=m, texture=tex,
+                      texture_key=tex_key)
+
+    # auto-frame: bounding box of everything added so far
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    for e in b.entries:
+        p = np.asarray(e.mesh["positions"], np.float64)
+        if e.transform is not None:
+            p = p @ e.transform[:3, :3].T + e.transform[:3, 3]
+        lo = np.minimum(lo, p.min(axis=0))
+        hi = np.maximum(hi, p.max(axis=0))
+    center = (lo + hi) / 2
+    extent = float(max(hi - lo))
+
+    b.add(shapes.quad(extent * 4), dict(base_color=(0.6, 0.6, 0.6),
+                                        roughness=0.8),
+          name="floor", transform=translate(center[0], lo[1], center[2]))
+    b.add(shapes.quad(extent * 0.6), dict(emissive=(10.0, 10.0, 10.0)),
+          name="key_light",
+          transform=compose(translate(center[0], hi[1] + extent * 1.2,
+                                      center[2]),
+                            rotate(180, (0, 0, 1))))
+    scene = b.build(env_constant=(0.25, 0.28, 0.32))
+    eye = center + np.array([0.0, extent * 0.45, extent * 1.6])
+    cam = CameraState(eye=np.asarray(eye, np.float64),
+                      center=np.asarray(center, np.float64),
+                      up=np.array([0.0, 1.0, 0.0]), fov_deg=45.0,
+                      aspect=aspect)
+    return scene, cam
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="cornell", choices=SCENES)
+    ap.add_argument("--model", default=None, metavar="PATH",
+                    help="render an OBJ/PLY/glTF/GLB file in a studio "
+                    "setup instead of a named scene")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=16)
@@ -83,7 +143,10 @@ def main() -> int:
         width=args.width, height=args.height, max_depth=args.depth,
         sampler=args.sampler, compat_pnrt=args.compat,
     )
-    scene, cam_state = build_scene(args.scene, args.width / args.height)
+    if args.model:
+        scene, cam_state = scene_from_file(args.model, args.width / args.height)
+    else:
+        scene, cam_state = build_scene(args.scene, args.width / args.height)
     cam_state.aspect = args.width / args.height
     camera = cam_state.basis()
     scene = jax.device_put(scene)
