@@ -67,6 +67,11 @@ class RenderConfig:
     # iterations.  Pure permutation; images are bit-identical.
     sort_rays: bool = False
 
+    # Batch the area-light and environment NEE shadow rays of each bounce
+    # into ONE any-hit traversal call (2R rays) instead of two R-ray calls.
+    # Bit-identical results; halves the per-bounce shadow dispatches.
+    fuse_shadows: bool = False
+
     # Russian-roulette path termination from this bounce on (None = off,
     # like the reference's fixed-depth loop).  Unbiased: survivors are
     # reweighted by 1/p.

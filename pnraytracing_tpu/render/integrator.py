@@ -83,7 +83,7 @@ class TraceRecords:
     The traversal queries (``lax.while_loop`` BVH walks) are the expensive,
     non-differentiable part of a frame; everything else is pure shading math.
     Recording their outputs lets a replay pass reproduce the frame
-    bit-identically with ZERO traversals — so a gradient step can trace once
+    exactly (up to XLA fusion rounding) with ZERO traversals — so a gradient step can trace once
     (forward only) and differentiate the cheap shading-only replay, instead
     of rematerializing the full traversal inside the backward pass.
 
@@ -298,7 +298,7 @@ def _render_rays(
             )
         t_tan, b_tan = build_tangent_space(nrm)
 
-        # --- NEE: area light (comp:878-909) ------------------------------
+        # --- NEE: area-light sample (comp:878-909) ------------------------
         seed, u_light = rand01(seed)
         l_direct = jnp.zeros((r, 3), jnp.float32)
         light_pdf = jnp.zeros((r,), jnp.float32)
@@ -311,14 +311,53 @@ def _render_rays(
             sdir = lp - pos  # unnormalized segment (comp:887)
             s_origin = pos + nrm * 1e-4
             s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
-            if replay:
+
+        # --- NEE: environment sample (comp:911-926) ------------------------
+        l_env = jnp.zeros((r, 3), jnp.float32)
+        env_pdf = jnp.zeros((r,), jnp.float32)
+        if has_env:
+            seed, r1e = rand01(seed)
+            seed, r2e = rand01(seed)
+            en_l, en_li, env_pdf_raw = sample_envmap(scene.env, r1e, r2e, compat=compat)
+            # reference offsets the env shadow ray origin by nothing
+            # (comp:918); default adds the same normal epsilon as elsewhere.
+            e_origin = pos if compat else pos + nrm * 1e-4
+            facing = dot(en_l, nrm) > 0
+
+        # --- occlusion queries: replayed, fused (both NEE classes in ONE
+        # any-hit batch — identical bits, half the traversal dispatches per
+        # bounce), or separate ----------------------------------------------
+        fuse = cfg.fuse_shadows and has_lights and has_env and not replay
+        if replay:
+            if has_lights:
                 occluded = records.light_occ[bounce]
-            else:
+            if has_env:
+                e_occ = records.env_occ[bounce]
+        elif fuse:
+            occ2 = _occluded(
+                jnp.concatenate([s_origin, e_origin]),
+                jnp.concatenate([sdir, en_l]),
+                jnp.concatenate([s_tmax, t_max0]),
+                jnp.concatenate([active, active & facing]),
+            )
+            occluded, e_occ = occ2[:r], occ2[r:]
+            if record:
+                rec_light_occ.append(jnp.zeros((r,), bool).at[orig].set(occluded))
+                rec_env_occ.append(jnp.zeros((r,), bool).at[orig].set(e_occ))
+        else:
+            if has_lights:
                 occluded = _occluded(s_origin, sdir, s_tmax, active)
                 if record:
                     rec_light_occ.append(
                         jnp.zeros((r,), bool).at[orig].set(occluded)
                     )
+            if has_env:
+                e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
+                if record:
+                    rec_env_occ.append(jnp.zeros((r,), bool).at[orig].set(e_occ))
+
+        # --- area-light contribution ---------------------------------------
+        if has_lights:
             dis2 = dot(sdir, sdir)
             lnorm = normalize(sdir)
             cos_l = jnp.abs(dot(ln, -lnorm))
@@ -333,23 +372,8 @@ def _render_rays(
                 0.0,
             )
 
-        # --- NEE: environment (comp:911-926) ------------------------------
-        l_env = jnp.zeros((r, 3), jnp.float32)
-        env_pdf = jnp.zeros((r,), jnp.float32)
+        # --- environment contribution ---------------------------------------
         if has_env:
-            seed, r1e = rand01(seed)
-            seed, r2e = rand01(seed)
-            en_l, en_li, env_pdf_raw = sample_envmap(scene.env, r1e, r2e, compat=compat)
-            # reference offsets the env shadow ray origin by nothing
-            # (comp:918); default adds the same normal epsilon as elsewhere.
-            e_origin = pos if compat else pos + nrm * 1e-4
-            facing = dot(en_l, nrm) > 0
-            if replay:
-                e_occ = records.env_occ[bounce]
-            else:
-                e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
-                if record:
-                    rec_env_occ.append(jnp.zeros((r,), bool).at[orig].set(e_occ))
             env_pdf = jnp.where(active, env_pdf_raw, 0.0)  # pdf always counted
             take = active & facing & ~e_occ
             env_f = disney_eval(v_dir, nrm, en_l, t_tan, b_tan, mat)
@@ -574,7 +598,7 @@ def render_rays_replay(
     records: TraceRecords,
 ) -> jnp.ndarray:
     """Reproduce a frame from its trace records WITHOUT any traversal:
-    bit-identical radiance when ``scene`` carries the same parameter values
+    identical radiance (up to XLA fusion/FMA rounding) when ``scene`` carries the same parameter values
     the trace ran with, and a while-loop-free graph that is cheap to
     differentiate (the backward pass never re-walks the BVH)."""
     color, _ = _render_rays(scene, o, d, px, py, frame, cfg, records, False)
