@@ -118,18 +118,13 @@ def main() -> int:
 
         else:
             # trace/replay split: traversal runs ONCE per frame (forward
-            # only); the differentiated graph is the while-loop-free replay
-            @functools.partial(jax.jit, donate_argnums=())
-            def step(p, start):
-                scene_now = apply_params(scene, jax.lax.stop_gradient(p))
+            # only, the same-size program as the fwd bench), then ONE
+            # compiled grad pass over the while-loop-free replay.  Two
+            # small programs instead of one mega-program — the latter
+            # takes pathologically long to compile on this toolchain.
+            @functools.partial(jax.jit, static_argnames=())
+            def grad_step(p, recs, start):
                 steps_u32 = jnp.arange(k, dtype=jnp.uint32)
-
-                def trace_body(carry, i):
-                    return carry, trace_paths(
-                        scene_now, o, d, px, py, start + i, cfg
-                    )
-
-                _, recs = jax.lax.scan(trace_body, 0, steps_u32)
 
                 def f(pp):
                     @jax.checkpoint
@@ -147,6 +142,16 @@ def main() -> int:
                     return loss / k
 
                 return jax.value_and_grad(f)(p)
+
+            def step(p, start):
+                recs = [
+                    trace_paths(scene, o, d, px, py, start + jnp.uint32(j), cfg)
+                    for j in range(k)
+                ]
+                recs = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *recs
+                )
+                return grad_step(p, recs, start)
 
         def run(call_idx):
             loss, grads = step(params, jnp.uint32(call_idx * k))

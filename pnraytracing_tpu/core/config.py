@@ -67,6 +67,13 @@ class RenderConfig:
     # iterations.  Pure permutation; images are bit-identical.
     sort_rays: bool = False
 
+    # Bounce-loop construction.  'unroll' emits max_depth copies of the
+    # bounce body (best steady-state code); 'scan' drives one compiled body
+    # with lax.scan, so program size / compile time are O(1) in depth —
+    # use for deep-bounce configs (e.g. 8-bounce config 5) and anywhere
+    # XLA compile time hurts.  Same images up to compiler rounding.
+    loop: str = "unroll"
+
     # Batch the area-light and environment NEE shadow rays of each bounce
     # into ONE any-hit traversal call (2R rays) instead of two R-ray calls.
     # Bit-identical results; halves the per-bounce shadow dispatches.
@@ -97,6 +104,7 @@ class RenderConfig:
     env_scale: float = 1.0
 
     def __post_init__(self):
+        assert self.loop in ("unroll", "scan")
         assert self.sampler in ("sobol", "hash")
         assert self.traversal in ("wide", "packed")
         assert self.mis in ("reference", "balanced")

@@ -26,6 +26,8 @@ Default mode uses the exact pdf of the sampling procedure
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +35,31 @@ from pnraytracing_tpu.core.math import PI, TWO_PI, hdr_luminance, spherical_uv
 from pnraytracing_tpu.core.types import EnvMap
 
 _POLE_EPS = 1e-6
+
+
+def _bisect_rows(table: jnp.ndarray, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Per-ray ``searchsorted(table[x], u, side='left')`` without
+    materializing the gathered rows.
+
+    ``table[x]`` for [R] rays over a [W, H] table builds an [R, H]
+    intermediate — 268 MB of HBM traffic per bounce at 512^2 rays with a
+    256-row environment.  An unrolled bisection needs only ceil(log2 H)
+    gathers of ONE element per ray (the inverse-CDF *lookup* half of the
+    reference's pre-inverted table design, shader.hpp:183-203, without
+    baking the table).  Results are identical to searchsorted.
+    """
+    h = int(table.shape[1])
+    lo = jnp.zeros_like(x)
+    hi = jnp.full_like(x, h)
+    # answers live in [0, h] (h+1 values) -> ceil(log2(h+1)) halvings
+    for _ in range(max(1, math.ceil(math.log2(h + 1)))):
+        active = lo < hi
+        mid = jnp.minimum((lo + hi) // 2, h - 1)
+        v = table[x, mid]
+        right = active & (v < u)
+        lo = jnp.where(right, mid + 1, lo)
+        hi = jnp.where(active & ~right, mid, hi)
+    return lo
 
 
 def build_envmap(image: jnp.ndarray) -> EnvMap:
@@ -74,12 +101,9 @@ def sample_envmap(env: EnvMap, u1: jnp.ndarray, u2: jnp.ndarray, compat: bool = 
     x = jnp.clip(
         jnp.searchsorted(env.cdf_marginal_x, u1, side="left"), 0, w - 1
     ).astype(jnp.int32)
-    rows = env.cdf_y_given_x[x]  # [R, H]
-    y = jnp.clip(
-        jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="left"))(rows, u2),
-        0,
-        h - 1,
-    ).astype(jnp.int32)
+    y = jnp.clip(_bisect_rows(env.cdf_y_given_x, x, u2), 0, h - 1).astype(
+        jnp.int32
+    )
 
     p2d = env.pdf_xy[x, y]  # [R]
     if compat:

@@ -112,23 +112,24 @@ def gray_code(i: jnp.ndarray) -> jnp.ndarray:
     return i ^ (i >> 1)
 
 
-def sobol_u32(d: int, i: jnp.ndarray) -> jnp.ndarray:
+def sobol_u32(d, i: jnp.ndarray) -> jnp.ndarray:
     """32-bit Sobol value of index i in dimension d (comp:518-526):
-    XOR of direction numbers at the set bits of i."""
-    v = jnp.asarray(sobol_direction_table()[d])  # [32] u32
+    XOR of direction numbers at the set bits of i.  ``d`` may be a Python
+    int or a traced scalar (the scan-mode bounce counter)."""
+    v = jnp.asarray(sobol_direction_table())[d]  # [32] u32
     i = jnp.asarray(i, jnp.uint32)
     bits = (i[..., None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
     terms = jnp.where(bits.astype(bool), v, jnp.uint32(0))
     return functools.reduce(jnp.bitwise_xor, jnp.moveaxis(terms, -1, 0))
 
 
-def sobol_float(d: int, i: jnp.ndarray) -> jnp.ndarray:
+def sobol_float(d, i: jnp.ndarray) -> jnp.ndarray:
     return sobol_u32(d, i).astype(jnp.float32) * jnp.float32(1.0 / 0xFFFFFFFF)
 
 
-def sobol_vec2(frame: jnp.ndarray, bounce: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def sobol_vec2(frame: jnp.ndarray, bounce) -> tuple[jnp.ndarray, jnp.ndarray]:
     """The (u,v) pair for bounce b of frame i (comp:533-537): dims (2b, 2b+1)
-    at gray-coded index."""
+    at gray-coded index.  ``bounce`` may be a Python int or traced."""
     g = gray_code(frame)
     d0 = (2 * bounce) % SOBOL_DIMS
     d1 = (2 * bounce + 1) % SOBOL_DIMS

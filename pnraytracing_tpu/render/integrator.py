@@ -267,9 +267,6 @@ def _render_rays(
     hit = records.primary if replay else _closest(o, d, t_max0)
     primary_hit = hit.valid
     rec_primary = hit  # original order: no compaction has happened yet
-    rec_light_occ: list = []
-    rec_env_occ: list = []
-    rec_bounce: list = []
 
     def env_radiance(dirs):
         if has_env:
@@ -279,16 +276,18 @@ def _render_rays(
     miss_color = env_radiance(d)
 
     # ---- path loop (comp:861-972) ---------------------------------------
-    active = primary_hit
-    pos, nrm, uv, mat_id, tex_id = make_interaction(mesh, hit, d, o)
-    v_dir = -d
-    lo = jnp.zeros((r, 3), jnp.float32)
-    c = jnp.ones((r, 3), jnp.float32)
-    # original ray id of each lane (identity until compaction permutes)
-    orig = jnp.arange(r, dtype=jnp.int32)
-    px_l, py_l = px, py
+    # One bounce is a pure function of the carried path state.  It is
+    # either unrolled (``cfg.loop == "unroll"``: XLA sees max_depth copies,
+    # best steady-state codegen) or driven by ``lax.scan``
+    # (``cfg.loop == "scan"``: the body compiles ONCE, so program size and
+    # compile time are O(1) in depth — required for deep-bounce configs).
+    arange_r = jnp.arange(r, dtype=jnp.int32)
 
-    for bounce in range(cfg.max_depth):
+    def bounce_body(carry, bounce, brec):
+        (seed, active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo,
+         orig, px_l, py_l) = carry
+        static_bounce = isinstance(bounce, int)
+
         mat = materials.gather(mat_id).sanitized()
         if compat:
             mat = apply_compat_material_decode(mat)
@@ -325,14 +324,16 @@ def _render_rays(
             facing = dot(en_l, nrm) > 0
 
         # --- occlusion queries: replayed, fused (both NEE classes in ONE
-        # any-hit batch — identical bits, half the traversal dispatches per
-        # bounce), or separate ----------------------------------------------
+        # any-hit batch — identical results, half the traversal dispatches
+        # per bounce), or separate -------------------------------------------
         fuse = cfg.fuse_shadows and has_lights and has_env and not replay
+        rec_occ = jnp.zeros((r,), bool)  # placeholders keep the record
+        rec_eocc = jnp.zeros((r,), bool)  # pytree static across modes
         if replay:
             if has_lights:
-                occluded = records.light_occ[bounce]
+                occluded = brec[0]
             if has_env:
-                e_occ = records.env_occ[bounce]
+                e_occ = brec[1]
         elif fuse:
             occ2 = _occluded(
                 jnp.concatenate([s_origin, e_origin]),
@@ -342,19 +343,17 @@ def _render_rays(
             )
             occluded, e_occ = occ2[:r], occ2[r:]
             if record:
-                rec_light_occ.append(jnp.zeros((r,), bool).at[orig].set(occluded))
-                rec_env_occ.append(jnp.zeros((r,), bool).at[orig].set(e_occ))
+                rec_occ = rec_occ.at[orig].set(occluded)
+                rec_eocc = rec_eocc.at[orig].set(e_occ)
         else:
             if has_lights:
                 occluded = _occluded(s_origin, sdir, s_tmax, active)
                 if record:
-                    rec_light_occ.append(
-                        jnp.zeros((r,), bool).at[orig].set(occluded)
-                    )
+                    rec_occ = rec_occ.at[orig].set(occluded)
             if has_env:
                 e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
                 if record:
-                    rec_env_occ.append(jnp.zeros((r,), bool).at[orig].set(e_occ))
+                    rec_eocc = rec_eocc.at[orig].set(e_occ)
 
         # --- area-light contribution ---------------------------------------
         if has_lights:
@@ -431,6 +430,7 @@ def _render_rays(
                 p_b_env = jnp.maximum(disney_pdf(v_dir, nrm, en_l, mat), 0.0)
                 w_e = env_pdf / jnp.maximum(env_pdf + p_b_env, _EPS)
                 nee = nee + l_env * w_e[..., None]
+
         def clamp_contrib(x):
             if cfg.max_radiance is not None:
                 return jnp.minimum(x, cfg.max_radiance)
@@ -441,14 +441,14 @@ def _render_rays(
         # --- continue the path (comp:950-969) -----------------------------
         b_origin = pos + nrm * 1e-4
         if replay:
-            hit2 = jax.tree_util.tree_map(lambda a: a[bounce], records.bounce)
+            hit2 = brec[2]
+            rec_hit2 = hit2
         else:
             hit2 = _closest(b_origin, l_out, t_max0, active)
+            rec_hit2 = hit2
             if record:
-                rec_bounce.append(
-                    jax.tree_util.tree_map(
-                        lambda a: jnp.zeros_like(a).at[orig].set(a), hit2
-                    )
+                rec_hit2 = jax.tree_util.tree_map(
+                    lambda a: jnp.zeros_like(a).at[orig].set(a), hit2
                 )
         weight = d_f * (n_dot_l * _safe_inv(d_pdf))[..., None]
 
@@ -495,38 +495,100 @@ def _render_rays(
         active = hit_now
 
         # Russian roulette (not in the reference): unbiased stochastic
-        # termination of low-throughput paths
-        if cfg.rr_start is not None and bounce >= cfg.rr_start:
-            seed, u_rr = rand01(seed)
-            p_survive = jnp.clip(jnp.max(c, axis=-1), 0.05, 0.95)
-            survive = u_rr < p_survive
-            c = jnp.where(
-                (active & survive)[..., None], c / p_survive[..., None], c
-            )
-            active = active & survive
+        # termination of low-throughput paths.  Masked formulation: the
+        # stream only advances from rr_start on (folds to a no-op for
+        # earlier static bounces, stays one program under scan).
+        if cfg.rr_start is not None:
+            rr_on = bounce >= cfg.rr_start  # py bool (unroll) / traced (scan)
+            if not (static_bounce and not rr_on):
+                gate = jnp.asarray(rr_on, bool)  # folds when static
+                seed2, u_rr = rand01(seed)
+                p_survive = jnp.clip(jnp.max(c, axis=-1), 0.05, 0.95)
+                survive = u_rr < p_survive
+                c = jnp.where(
+                    (gate & active & survive)[..., None],
+                    c / p_survive[..., None], c,
+                )
+                active = active & (survive | ~gate)
+                seed = jnp.where(gate, seed2, seed)
 
         # pack live rays to the front so dead tiles drain instantly in the
         # tiled traversal of the next bounce (pure permutation — RNG seed
         # and pixel ids travel with the ray, radiance is unscrambled at
-        # the end)
-        if cfg.compact_rays and not replay and bounce < cfg.max_depth - 1:
-            if cfg.sort_rays and scene.trav is not None:
-                # group live rays by (normal octant, position cell) so each
-                # traversal tile of the next bounce sees coherent rays
-                root = scene.trav.nodes8[0]
-                lo_b, hi_b = root[0:3], root[3:6]
-                inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
-                perm, _ = sort_live_first(
-                    active, coherence_key(nrm, pos, lo_b, inv_ext)
-                )
-            else:
-                perm, _ = compact_indices(active)
-            (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
-             orig, px_l, py_l) = jax.tree_util.tree_map(
-                lambda a: a[perm],
+        # the end); skipped after the last bounce
+        if cfg.compact_rays and not replay:
+            is_last = bounce >= cfg.max_depth - 1
+            if not (static_bounce and is_last):
+                if cfg.sort_rays and scene.trav is not None:
+                    # group live rays by (normal octant, position cell) so
+                    # each traversal tile of the next bounce sees coherent
+                    # rays
+                    root = scene.trav.nodes8[0]
+                    lo_b, hi_b = root[0:3], root[3:6]
+                    inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
+                    perm, _ = sort_live_first(
+                        active, coherence_key(nrm, pos, lo_b, inv_ext)
+                    )
+                else:
+                    perm, _ = compact_indices(active)
+                if not static_bounce:
+                    perm = jnp.where(is_last, arange_r, perm)
                 (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
-                 orig, px_l, py_l),
+                 orig, px_l, py_l) = jax.tree_util.tree_map(
+                    lambda a: a[perm],
+                    (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
+                     orig, px_l, py_l),
+                )
+
+        carry = (seed, active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo,
+                 orig, px_l, py_l)
+        out_rec = (rec_occ, rec_eocc, rec_hit2) if record else jnp.int32(0)
+        return carry, out_rec
+
+    active = primary_hit
+    pos, nrm, uv, mat_id, tex_id = make_interaction(mesh, hit, d, o)
+    carry = (
+        seed, active, pos, nrm, uv, mat_id, tex_id, -d,
+        jnp.ones((r, 3), jnp.float32), jnp.zeros((r, 3), jnp.float32),
+        arange_r, px, py,
+    )
+
+    if cfg.loop == "scan":
+        bidx = jnp.arange(cfg.max_depth, dtype=jnp.int32)
+        if replay:
+            dummy = jnp.zeros((cfg.max_depth, r), bool)
+            brec_xs = (
+                records.light_occ if has_lights else dummy,
+                records.env_occ if has_env else dummy,
+                records.bounce,
             )
+            carry, ys = jax.lax.scan(
+                lambda cy, x: bounce_body(cy, x[0], x[1]), carry,
+                (bidx, brec_xs),
+            )
+        else:
+            carry, ys = jax.lax.scan(
+                lambda cy, b: bounce_body(cy, b, None), carry, bidx
+            )
+    else:
+        ys_list = []
+        for b in range(cfg.max_depth):
+            brec = None
+            if replay:
+                brec = (
+                    records.light_occ[b] if has_lights else None,
+                    records.env_occ[b] if has_env else None,
+                    jax.tree_util.tree_map(lambda a: a[b], records.bounce),
+                )
+            carry, y = bounce_body(carry, b, brec)
+            ys_list.append(y)
+        ys = (
+            jax.tree_util.tree_map(lambda *x: jnp.stack(x), *ys_list)
+            if record else None
+        )
+
+    (seed, active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo,
+     orig, px_l, py_l) = carry
 
     # restore original ray order after compaction permutations
     lo = jnp.zeros_like(lo).at[orig].set(lo)
@@ -542,11 +604,12 @@ def _render_rays(
 
     recs_out = None
     if record:
+        locc, eocc, bounce_hits = ys
         recs_out = TraceRecords(
             primary=rec_primary,
-            light_occ=jnp.stack(rec_light_occ) if has_lights else None,
-            env_occ=jnp.stack(rec_env_occ) if has_env else None,
-            bounce=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rec_bounce),
+            light_occ=locc if has_lights else None,
+            env_occ=eocc if has_env else None,
+            bounce=bounce_hits,
         )
     return color, recs_out
 

@@ -101,3 +101,32 @@ def test_read_reference_hdr_if_present():
     assert img.shape[0] >= 256 and img.shape[1] == 2 * img.shape[0]
     assert np.isfinite(img).all() and (img >= 0).all()
     assert img.max() > 1.0  # HDR content
+
+
+def test_bisect_rows_matches_searchsorted():
+    """The gather-free conditional-CDF bisection must agree with
+    searchsorted(side='left') everywhere, including exact boundary values
+    and the u=0 / u=1 extremes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pnraytracing_tpu.ops.envmap import _bisect_rows
+
+    rng = np.random.default_rng(0)
+    for h in (1, 2, 3, 7, 16, 100, 256):
+        w = 13
+        table = np.sort(rng.random((w, h)).astype(np.float32), axis=1)
+        x = rng.integers(0, w, 500).astype(np.int32)
+        u = np.concatenate([
+            rng.random(440).astype(np.float32),
+            np.zeros(20, np.float32), np.ones(20, np.float32),
+            table[x[480:500], rng.integers(0, h, 20)],
+        ])
+        got = np.asarray(
+            _bisect_rows(jnp.asarray(table), jnp.asarray(x), jnp.asarray(u))
+        )
+        want = np.array([
+            np.searchsorted(table[xi], ui, side="left")
+            for xi, ui in zip(x, u)
+        ])
+        np.testing.assert_array_equal(got, want)
