@@ -55,6 +55,9 @@ def main() -> int:
                     "(rematerialized traversal) instead of the trace/replay "
                     "split")
     ap.add_argument("--env-height", type=int, default=256)
+    ap.add_argument("--loop", default="unroll", choices=["unroll", "scan"],
+                    help="bounce-loop construction (scan: O(1) compile in "
+                    "depth)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
@@ -74,7 +77,8 @@ def main() -> int:
     n_calls = max(1, args.frames // k)
     frames = n_calls * k
 
-    cfg = RenderConfig(width=args.width, height=args.height, max_depth=args.depth)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       max_depth=args.depth, loop=args.loop)
     scene, cam_state = config3_teapot_night(env_height=args.env_height)
     cam_state.aspect = args.width / args.height
     camera = cam_state.basis()

@@ -116,6 +116,9 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--out", default=None)
     ap.add_argument("--sampler", default="sobol", choices=["sobol", "hash"])
+    ap.add_argument("--loop", default="unroll", choices=["unroll", "scan"],
+                    help="bounce-loop construction; 'scan' compiles O(1) "
+                    "in depth (use for deep bounces)")
     ap.add_argument("--compat", action="store_true",
                     help="reproduce the reference's quirks exactly")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -141,7 +144,7 @@ def main() -> int:
 
     cfg = RenderConfig(
         width=args.width, height=args.height, max_depth=args.depth,
-        sampler=args.sampler, compat_pnrt=args.compat,
+        sampler=args.sampler, compat_pnrt=args.compat, loop=args.loop,
     )
     if args.model:
         scene, cam_state = scene_from_file(args.model, args.width / args.height)
