@@ -67,7 +67,7 @@ def _scene(env):
     return jax.device_put(scene), cam_state.basis()
 
 
-def case_trav():
+def case_trav(tile_size=4096):
     from pnraytracing_tpu.accel.traverse_packed import closest_hit_packed
     from pnraytracing_tpu.core.camera import camera_rays
     from pnraytracing_tpu.core.math import FLOAT_MAX
@@ -75,7 +75,20 @@ def case_trav():
     scene, cam = _scene(env=True)
     o, d, _ = camera_rays(cam, 128, 128)
     tm = jnp.full((o.shape[0],), FLOAT_MAX, jnp.float32)
-    hit = closest_hit_packed(scene.trav, o, d, tm, None, tile_size=4096)
+    hit = closest_hit_packed(scene.trav, o, d, tm, None, tile_size=tile_size)
+    return float(hit.t.sum()) + float(hit.tri.sum())
+
+
+def case_trav_generic():
+    """The non-packed while-loop traversal (accel/traverse.py)."""
+    from pnraytracing_tpu.accel.traverse import closest_hit
+    from pnraytracing_tpu.core.camera import camera_rays
+    from pnraytracing_tpu.core.math import FLOAT_MAX
+
+    scene, cam = _scene(env=True)
+    o, d, _ = camera_rays(cam, 128, 128)
+    tm = jnp.full((o.shape[0],), FLOAT_MAX, jnp.float32)
+    hit = closest_hit(scene.bvh, scene.mesh, o, d, tm, None)
     return float(hit.t.sum()) + float(hit.tri.sum())
 
 
@@ -97,6 +110,8 @@ def main():
         "matmul": case_matmul,
         "gather": case_gather,
         "trav": case_trav,
+        "trav_notile": lambda: case_trav(tile_size=None),
+        "trav_generic": case_trav_generic,
         "depth1": lambda: _render(env=True),
         "noenv": lambda: _render(env=False),
     }[case]
