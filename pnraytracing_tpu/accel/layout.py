@@ -5,10 +5,20 @@ axis, right_child, start, end) plus 1+3 rows per triangle test (index
 triple, then three vertex positions).  On TPU every gather pays a full
 dynamic-gather pass, so the packed layout collapses them:
 
-* ``nodes8``  [N, 8] f32 — min.xyz, max.xyz, bitcast(right_child),
-  bitcast(start | count<<26 | axis<<30): ONE row gather per node visit;
+* ``nodes8``  [N, 8] f32 — min.xyz, max.xyz, enc(right_child, axis),
+  enc(start, count): ONE row gather per node visit;
 * ``tri9``    [T, 9] f32 — the three corner positions, pre-gathered: ONE
   row gather per triangle test.
+
+Topology fields are stored as EXACT small-integer floats (arithmetic
+packing: ``right*4 + axis``, ``start*16 + count``), NOT int32 bit patterns
+bitcast to f32: float32 represents integers below 2^24 exactly, while a
+bitcast int can alias a NaN payload that TPU data movement is allowed to
+canonicalize — observed on hardware as corrupted node ids driving the
+traversal while-loop until the worker watchdog killed it
+(scripts/crash_sweep.py: packed crashed, generic passed).  The arithmetic
+encoding bounds: < 2^22 BVH nodes, < 2^20 triangles, leaves <= 15 — the
+scene builder falls back to the generic traversal beyond them.
 
 This is pure data layout (same flat BVH contract as the reference,
 BVH.hpp:6-12); results are bit-identical to the unpacked traversal.
@@ -22,12 +32,12 @@ from flax import struct
 
 from pnraytracing_tpu.core.types import BVH, TriangleMesh
 
-_START_BITS = 26
-_START_MASK = (1 << _START_BITS) - 1
-_COUNT_BITS = 4
-_COUNT_MASK = (1 << _COUNT_BITS) - 1
+_COUNT_BASE = 16  # count in the low base-16 digit of enc(start, count)
+_AXIS_BASE = 4  # axis in the low base-4 digit of enc(right, axis)
 
-MAX_PACKED_LEAF = _COUNT_MASK  # 15 triangles
+MAX_PACKED_LEAF = _COUNT_BASE - 1  # 15 triangles
+MAX_PACKED_NODES = 1 << 22  # right*4+axis must stay < 2^24 (exact f32)
+MAX_PACKED_TRIS = 1 << 20  # start*16+count must stay < 2^24 (exact f32)
 
 
 @struct.dataclass
@@ -41,21 +51,31 @@ class TravData:
     nodes16: jnp.ndarray | None = None
 
 
+def _enc_i2f(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact small-int -> f32 (values must stay within +-2^24)."""
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _dec_f2i(x: jnp.ndarray) -> jnp.ndarray:
+    return x.astype(jnp.int32)
+
+
 def pack_traversal_data(bvh: BVH, mesh: TriangleMesh) -> TravData:
-    n = bvh.num_nodes
     count = bvh.end - bvh.start
-    # leaves must fit the 4-bit count field (builder default is 4)
-    meta = (
-        (bvh.start & _START_MASK)
-        | ((jnp.minimum(count, _COUNT_MASK) & _COUNT_MASK) << _START_BITS)
-        | ((jnp.maximum(bvh.axis, 0) & 0x3) << (_START_BITS + _COUNT_BITS))
-    ).astype(jnp.int32)
+    # enc(right, axis): -1 for leaves; internal = right*4 + axis
+    axis_nn = jnp.maximum(bvh.axis, 0)
+    enc_right = jnp.where(
+        bvh.right_child >= 0,
+        bvh.right_child * _AXIS_BASE + axis_nn,
+        -1,
+    )
+    enc_meta = bvh.start * _COUNT_BASE + jnp.minimum(count, MAX_PACKED_LEAF)
     nodes8 = jnp.concatenate(
         [
             bvh.node_min,
             bvh.node_max,
-            jax_bitcast_i2f(bvh.right_child)[:, None],
-            jax_bitcast_i2f(meta)[:, None],
+            _enc_i2f(enc_right)[:, None],
+            _enc_i2f(enc_meta)[:, None],
         ],
         axis=1,
     )
@@ -64,26 +84,37 @@ def pack_traversal_data(bvh: BVH, mesh: TriangleMesh) -> TravData:
     return TravData(nodes8=nodes8, tri9=tri9, nodes16=pack_wide_nodes(bvh))
 
 
+def unpack_node_rows(rows: jnp.ndarray):
+    """[..., 8] row -> (nmin, nmax, right_child, start, count, axis)."""
+    nmin = rows[..., 0:3]
+    nmax = rows[..., 3:6]
+    enc_right = _dec_f2i(rows[..., 6])
+    enc_meta = _dec_f2i(rows[..., 7])
+    right = jnp.where(enc_right < 0, -1, enc_right // _AXIS_BASE)
+    axis = jnp.where(enc_right < 0, 0, enc_right % _AXIS_BASE)
+    start = enc_meta // _COUNT_BASE
+    count = enc_meta % _COUNT_BASE
+    return nmin, nmax, right, start, count, axis
+
+
 def pack_wide_nodes(bvh: BVH) -> jnp.ndarray:
     """[N, 16] f32 rows for the wide traversal: per internal node
     ``[lmin(3), lmax(3), rmin(3), rmax(3), left_info, right_info, axis,
     pad]``.
 
     ``child_info >= 0`` is an internal child's node id; ``< 0`` encodes a
-    leaf as ``-(start | count << 26) - 1``.  Rows of leaf nodes are never
-    visited (their parents resolve them inline) and hold safe dummy values.
-    A leaf ROOT (scenes of <= 2 triangles) gets a synthetic row 0 whose left
-    "child" is the root leaf itself and whose right child is an empty box
-    with a zero-count leaf, so the traversal is uniform.
+    leaf as ``-(start*16 + count) - 1`` (exact-float arithmetic packing,
+    see module docstring).  Rows of leaf nodes are never visited (their
+    parents resolve them inline) and hold safe dummy values.  A leaf ROOT
+    (scenes of <= 2 triangles) gets a synthetic row 0 whose left "child"
+    is the root leaf itself and whose right child is an empty box with a
+    zero-count leaf, so the traversal is uniform.
     """
     n = bvh.num_nodes
     ids = jnp.arange(n, dtype=jnp.int32)
     is_leaf = bvh.right_child < 0
     count = bvh.end - bvh.start
-    meta = (
-        (bvh.start & _START_MASK)
-        | ((jnp.minimum(count, _COUNT_MASK) & _COUNT_MASK) << _START_BITS)
-    ).astype(jnp.int32)
+    meta = bvh.start * _COUNT_BASE + jnp.minimum(count, MAX_PACKED_LEAF)
     leaf_info = -meta - 1
 
     left = jnp.minimum(ids + 1, n - 1)
@@ -102,9 +133,9 @@ def pack_wide_nodes(bvh: BVH) -> jnp.ndarray:
             bvh.node_max[left],
             bvh.node_min[right],
             bvh.node_max[right],
-            jax_bitcast_i2f(info_of(left))[:, None],
-            jax_bitcast_i2f(info_of(right))[:, None],
-            jax_bitcast_i2f(jnp.maximum(bvh.axis, 0))[:, None],
+            _enc_i2f(info_of(left))[:, None],
+            _enc_i2f(info_of(right))[:, None],
+            _enc_i2f(jnp.maximum(bvh.axis, 0))[:, None],
             jnp.zeros((n, 1), jnp.float32),
         ],
         axis=1,
@@ -115,26 +146,14 @@ def pack_wide_nodes(bvh: BVH) -> jnp.ndarray:
             bvh.node_max[0],
             empty_min,
             empty_max,
-            jax_bitcast_i2f(leaf_info[0])[None],
-            jax_bitcast_i2f(jnp.int32(-1))[None],  # empty leaf: meta 0
-            jax_bitcast_i2f(jnp.int32(0))[None],
+            _enc_i2f(leaf_info[0])[None],
+            _enc_i2f(jnp.int32(-1))[None],  # empty leaf: meta 0
+            _enc_i2f(jnp.int32(0))[None],
             jnp.zeros((1,), jnp.float32),
         ]
     )
     rows = rows.at[0].set(jnp.where(is_leaf[0], syn_row0, rows[0]))
     return rows
-
-
-def jax_bitcast_i2f(x: jnp.ndarray) -> jnp.ndarray:
-    import jax
-
-    return jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.float32)
-
-
-def jax_bitcast_f2i(x: jnp.ndarray) -> jnp.ndarray:
-    import jax
-
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 def unpack_wide_rows(rows: jnp.ndarray):
@@ -144,27 +163,15 @@ def unpack_wide_rows(rows: jnp.ndarray):
     lmax = rows[..., 3:6]
     rmin = rows[..., 6:9]
     rmax = rows[..., 9:12]
-    li = jax_bitcast_f2i(rows[..., 12])
-    ri = jax_bitcast_f2i(rows[..., 13])
-    axis = jax_bitcast_f2i(rows[..., 14])
+    li = _dec_f2i(rows[..., 12])
+    ri = _dec_f2i(rows[..., 13])
+    axis = _dec_f2i(rows[..., 14])
     return lmin, lmax, rmin, rmax, li, ri, axis
 
 
 def decode_leaf_info(info: jnp.ndarray):
     """Negative child_info -> (start, count); count is 0 for non-leaves."""
     meta = -info - 1
-    start = meta & _START_MASK
-    count = jnp.where(info < 0, (meta >> _START_BITS) & _COUNT_MASK, 0)
+    start = meta // _COUNT_BASE
+    count = jnp.where(info < 0, meta % _COUNT_BASE, 0)
     return start, count
-
-
-def unpack_node_rows(rows: jnp.ndarray):
-    """[..., 8] row -> (nmin, nmax, right_child, start, count, axis)."""
-    nmin = rows[..., 0:3]
-    nmax = rows[..., 3:6]
-    right = jax_bitcast_f2i(rows[..., 6])
-    meta = jax_bitcast_f2i(rows[..., 7])
-    start = meta & _START_MASK
-    count = (meta >> _START_BITS) & _COUNT_MASK
-    axis = (meta >> (_START_BITS + _COUNT_BITS)) & 0x3
-    return nmin, nmax, right, start, count, axis

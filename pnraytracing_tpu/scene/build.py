@@ -19,7 +19,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pnraytracing_tpu.accel.bvh import BVHArrays, build_bvh, triangle_bounds
-from pnraytracing_tpu.accel.layout import MAX_PACKED_LEAF, pack_traversal_data
+from pnraytracing_tpu.accel.layout import (
+    MAX_PACKED_LEAF,
+    MAX_PACKED_NODES,
+    MAX_PACKED_TRIS,
+    pack_traversal_data,
+)
 from pnraytracing_tpu.core.types import (
     BVH,
     Lights,
@@ -209,7 +214,11 @@ class SceneBuilder:
         # flat-BVH oracle exceeds the packed count field and falls back)
         trav = None
         max_count = int((built.end - built.start)[built.right_child == -1].max())
-        if max_count <= MAX_PACKED_LEAF:
+        if (
+            max_count <= MAX_PACKED_LEAF
+            and len(built.start) <= MAX_PACKED_NODES
+            and len(indices) <= MAX_PACKED_TRIS
+        ):
             trav = pack_traversal_data(bvh, mesh)
 
         return Scene(
