@@ -82,3 +82,70 @@ def test_scene_carries_packed_layout():
         flat_bvh=True
     )
     assert scene_flat.trav is None
+
+
+def test_layout_topology_roundtrip_extremes():
+    """The arithmetic float encoding must round-trip topology exactly at
+    its documented bounds (no bitcasts: values must survive any
+    NaN-canonicalizing data movement by construction)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnraytracing_tpu.accel import layout as L
+    from pnraytracing_tpu.core.types import BVH
+
+    n = 7
+    rc = jnp.asarray([1, -1, L.MAX_PACKED_NODES - 1, 5, -1, 2, 3], jnp.int32)
+    axis = jnp.asarray([0, -1, 2, 1, -1, 0, 2], jnp.int32)
+    start = jnp.asarray(
+        [0, L.MAX_PACKED_TRIS - 1, 7, 9, 2, 4, 6], jnp.int32
+    )
+    count = jnp.asarray([0, L.MAX_PACKED_LEAF, 3, 1, 15, 0, 2], jnp.int32)
+    bvh = BVH(
+        node_min=jnp.zeros((n, 3), jnp.float32),
+        node_max=jnp.ones((n, 3), jnp.float32),
+        axis=axis,
+        right_child=rc,
+        start=start,
+        end=start + count,
+    )
+    from pnraytracing_tpu.core.types import TriangleMesh
+
+    mesh = TriangleMesh(
+        positions=jnp.zeros((3, 3), jnp.float32),
+        normals=jnp.zeros((3, 3), jnp.float32),
+        tangents=jnp.zeros((3, 3), jnp.float32),
+        bitangents=jnp.zeros((3, 3), jnp.float32),
+        uvs=jnp.zeros((3, 2), jnp.float32),
+        indices=jnp.zeros((1, 3), jnp.int32),
+        material_id=jnp.zeros((1,), jnp.int32),
+        texture_id=jnp.zeros((1,), jnp.int32),
+        area=jnp.ones((1,), jnp.float32),
+    )
+    trav = L.pack_traversal_data(bvh, mesh)
+    _, _, right_d, start_d, count_d, axis_d = L.unpack_node_rows(trav.nodes8)
+    np.testing.assert_array_equal(np.asarray(right_d), np.asarray(rc))
+    np.testing.assert_array_equal(np.asarray(start_d), np.asarray(start))
+    np.testing.assert_array_equal(np.asarray(count_d), np.asarray(count))
+    internal = np.asarray(rc) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(axis_d)[internal], np.maximum(np.asarray(axis), 0)[internal]
+    )
+    # every f32 the encoding can emit is a normal finite number
+    assert np.isfinite(np.asarray(trav.nodes8)).all()
+
+
+def test_wide_leaf_info_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pnraytracing_tpu.accel import layout as L
+
+    start = jnp.asarray([0, 5, L.MAX_PACKED_TRIS - 1], jnp.int32)
+    count = jnp.asarray([1, L.MAX_PACKED_LEAF, 3], jnp.int32)
+    info = -(start * 16 + count) - 1
+    f = info.astype(jnp.int32).astype(jnp.float32)
+    assert np.isfinite(np.asarray(f)).all()
+    s2, c2 = L.decode_leaf_info(f.astype(jnp.int32))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(start))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(count))
