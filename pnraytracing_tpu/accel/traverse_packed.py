@@ -184,6 +184,125 @@ def _any_hit_flat(
     return occ
 
 
+def _closest_hit_flat_pop(
+    trav: TravData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+) -> Hit:
+    """Pop-test variant: each node's AABB is tested when it is POPPED, and
+    children of passing internal nodes are pushed untested.  Versus the
+    push-test loop (`_closest_hit_flat`): ~2x pops but ONE [.,8] row gather
+    per pop instead of three (~33% fewer gathered rows — the dominant TPU
+    cost), and the test uses the tighter ``t_best`` available at pop time."""
+    r = o.shape[0]
+    arange = jnp.arange(r, dtype=jnp.int32)
+    inv_d = safe_inv_dir(d)
+
+    stack = jnp.zeros((r, stack_depth), jnp.int32)
+    top = jnp.ones((r,), jnp.int32)
+    if mask is not None:
+        top = jnp.where(mask, top, 0)
+    hit0 = Hit(
+        tri=jnp.full((r,), -1, jnp.int32),
+        t=jnp.asarray(t_max, jnp.float32),
+        b1=jnp.zeros((r,), jnp.float32),
+        b2=jnp.zeros((r,), jnp.float32),
+    )
+
+    def cond(state):
+        return jnp.any(state[1] > 0)
+
+    def body(state):
+        stack, top, best = state
+        node_id, top, active = _pop(stack, top, arange)
+        rows = trav.nodes8[node_id]  # the ONLY gather this iteration
+        nmin, nmax, right, start, count, axis = unpack_node_rows(rows)
+        bhit = active & intersect_aabb(nmin, nmax, o, inv_d, best.t, compat=compat)
+        is_leaf = right < 0
+
+        leaf = bhit & is_leaf
+        t_best, tri_best = best.t, best.tri
+        b1_best, b2_best = best.b1, best.b2
+        for tri_hit, ti, t, b1, b2 in _leaf_tests(
+            trav, start, count, leaf, o, d, t_best, max_leaf_size, compat
+        ):
+            win = tri_hit & (t < t_best)
+            t_best = jnp.where(win, t, t_best)
+            tri_best = jnp.where(win, ti, tri_best)
+            b1_best = jnp.where(win, b1, b1_best)
+            b2_best = jnp.where(win, b2, b2_best)
+
+        internal = bhit & ~is_leaf
+        left = node_id + 1
+        d_ax = jnp.take_along_axis(d, axis[:, None], axis=-1)[:, 0]
+        neg = d_ax < 0
+        near = jnp.where(neg, right, left)
+        far = jnp.where(neg, left, right)
+        stack2, top2 = _push(stack, top, far, internal, arange, stack_depth)
+        stack2, top2 = _push(stack2, top2, near, internal, arange, stack_depth)
+        return stack2, top2, Hit(tri=tri_best, t=t_best, b1=b1_best, b2=b2_best)
+
+    _, _, best = jax.lax.while_loop(cond, body, (stack, top, hit0))
+    return best
+
+
+def _any_hit_flat_pop(
+    trav: TravData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+) -> jnp.ndarray:
+    r = o.shape[0]
+    arange = jnp.arange(r, dtype=jnp.int32)
+    inv_d = safe_inv_dir(d)
+    t_max = jnp.asarray(t_max, jnp.float32)
+
+    stack = jnp.zeros((r, stack_depth), jnp.int32)
+    top = jnp.ones((r,), jnp.int32)
+    if mask is not None:
+        top = jnp.where(mask, top, 0)
+    occ0 = jnp.zeros((r,), bool)
+
+    def cond(state):
+        return jnp.any(state[1] > 0)
+
+    def body(state):
+        stack, top, occ = state
+        node_id, top, active = _pop(stack, top, arange)
+        rows = trav.nodes8[node_id]
+        nmin, nmax, right, start, count, axis = unpack_node_rows(rows)
+        bhit = active & intersect_aabb(nmin, nmax, o, inv_d, t_max, compat=compat)
+        is_leaf = right < 0
+
+        leaf = bhit & is_leaf
+        new_occ = occ
+        for tri_hit, *_ in _leaf_tests(
+            trav, start, count, leaf, o, d, t_max, max_leaf_size, compat
+        ):
+            new_occ = new_occ | tri_hit
+
+        internal = bhit & ~is_leaf
+        left = node_id + 1
+        stack2, top2 = _push(stack, top, right, internal, arange, stack_depth)
+        stack2, top2 = _push(stack2, top2, left, internal, arange, stack_depth)
+        top2 = jnp.where(new_occ, 0, top2)
+        return stack2, top2, new_occ
+
+    _, _, occ = jax.lax.while_loop(cond, body, (stack, top, occ0))
+    return occ
+
+
 def _tiled(flat_fn, zero_like):
     """Build a tiled traversal wrapper.
 
@@ -244,5 +363,13 @@ closest_hit_packed = jax.jit(
 )
 any_hit_packed = jax.jit(
     _tiled(_any_hit_flat, None),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+)
+closest_hit_pop = jax.jit(
+    _tiled(_closest_hit_flat_pop, None),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+)
+any_hit_pop = jax.jit(
+    _tiled(_any_hit_flat_pop, None),
     static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
 )

@@ -40,7 +40,10 @@ class RenderConfig:
     # images.  Measured on one v5e chip (teapot_night 512p/4 bounces):
     # packed 0.36 ms/frame, wide 1.92 ms — TPU gathers cost per gathered
     # row, so the wide backend's bigger batched leaf gather loses despite
-    # fewer loop iterations; 'packed' stays the default.
+    # fewer loop iterations; 'packed' stays the default.  'pop' tests each
+    # node's AABB when popped and pushes children untested: ~2x pops but
+    # ONE row gather per pop instead of three (~33% fewer gathered rows)
+    # and a tighter t_max at test time.
     traversal: str = "packed"
 
     # Sampler: 'sobol' uses Sobol + Cranley-Patterson rotation for the BRDF
@@ -106,7 +109,7 @@ class RenderConfig:
     def __post_init__(self):
         assert self.loop in ("unroll", "scan")
         assert self.sampler in ("sobol", "hash")
-        assert self.traversal in ("wide", "packed")
+        assert self.traversal in ("wide", "packed", "pop")
         assert self.mis in ("reference", "balanced")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"

@@ -37,7 +37,12 @@ import jax.numpy as jnp
 from flax import struct
 
 from pnraytracing_tpu.accel.traverse import any_hit, closest_hit
-from pnraytracing_tpu.accel.traverse_packed import any_hit_packed, closest_hit_packed
+from pnraytracing_tpu.accel.traverse_packed import (
+    any_hit_packed,
+    any_hit_pop,
+    closest_hit_packed,
+    closest_hit_pop,
+)
 from pnraytracing_tpu.accel.traverse_wide import any_hit_wide, closest_hit_wide
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.math import (
@@ -240,8 +245,12 @@ def _render_rays(
     if scene.trav is not None:
         packed_kw = dict(trace_kw, tile_size=cfg.trav_tile)
         use_wide = cfg.traversal == "wide" and scene.trav.nodes16 is not None
-        _closest_fn = closest_hit_wide if use_wide else closest_hit_packed
-        _occluded_fn = any_hit_wide if use_wide else any_hit_packed
+        if use_wide:
+            _closest_fn, _occluded_fn = closest_hit_wide, any_hit_wide
+        elif cfg.traversal == "pop":
+            _closest_fn, _occluded_fn = closest_hit_pop, any_hit_pop
+        else:
+            _closest_fn, _occluded_fn = closest_hit_packed, any_hit_packed
 
         def _closest(o_, d_, tm_, mask_=None):
             return _stop_gradient_trace(

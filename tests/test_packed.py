@@ -149,3 +149,27 @@ def test_wide_leaf_info_roundtrip():
     s2, c2 = L.decode_leaf_info(f.astype(jnp.int32))
     np.testing.assert_array_equal(np.asarray(s2), np.asarray(start))
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(count))
+
+
+def test_pop_traversal_matches_packed():
+    """The pop-test loop must produce identical hits to the push-test
+    loop (same tests, different order; strict t < t_best keeps winners
+    deterministic for distinct t)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnraytracing_tpu.core.config import RenderConfig
+    from pnraytracing_tpu.render.integrator import render_rays
+    from tests.test_replay import rays, small_scene
+
+    cfg = RenderConfig(width=16, height=16, max_depth=3, clamp_radiance=False)
+    scene, cam = small_scene(with_env=True)
+    o, d, px, py = rays(cfg, cam)
+    a = render_rays(scene, o, d, px, py, jnp.uint32(1), cfg)
+    b = render_rays(
+        scene, o, d, px, py, jnp.uint32(1),
+        dataclasses.replace(cfg, traversal="pop"),
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
