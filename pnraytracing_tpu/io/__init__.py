@@ -62,9 +62,11 @@ def load_model(path: str):
     * ``.ply`` -> single mesh dict
     * ``.gltf``/``.glb`` -> list of (mesh, material, texture, name,
       transform, texture_key) primitives
+    * ``.fbx`` -> list of (mesh, material, None, name, transform) geometries
 
     The reference funnels every format through assimp (model.hpp:25);
-    here each parser is from scratch (io/obj.py, io/ply.py, io/gltf.py).
+    here each parser is from scratch (io/obj.py, io/ply.py, io/gltf.py,
+    io/fbx.py).
     """
     ext = path.rsplit(".", 1)[-1].lower()
     if ext == "obj":
@@ -77,6 +79,10 @@ def load_model(path: str):
         from pnraytracing_tpu.io.gltf import load_gltf
 
         return load_gltf(path)
+    if ext == "fbx":
+        from pnraytracing_tpu.io.fbx import load_fbx
+
+        return load_fbx(path)
     raise ValueError(f"unsupported model format .{ext}")
 
 

@@ -70,6 +70,9 @@ def scene_from_file(path: str, aspect: float):
             if len(g) == 4:  # OBJ: (mesh, material, texture, name)
                 mesh, mat, tex, name = g
                 b.add(mesh, mat, name=name, texture=tex)
+            elif len(g) == 5:  # FBX: (mesh, material, None, name, transform)
+                mesh, mat, tex, name, m = g
+                b.add(mesh, mat, name=name, transform=m, texture=tex)
             else:  # glTF: (mesh, material, texture, name, transform, key)
                 mesh, mat, tex, name, m, tex_key = g
                 b.add(mesh, mat, name=name, transform=m, texture=tex,
