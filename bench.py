@@ -199,5 +199,26 @@ def main() -> int:
     return 0
 
 
+def _main_with_retry() -> int:
+    """The tunneled TPU worker can crash mid-run (see BASELINE.md round-2
+    notes); a crashed worker poisons the whole client process, so the only
+    clean retry is a fresh process: re-exec once after a recovery wait."""
+    import os
+
+    try:
+        return main()
+    except Exception as e:
+        if os.environ.get("PNRT_BENCH_RETRIED"):
+            print(f"bench failed twice: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            return 1
+        print(f"bench attempt failed ({type(e).__name__}); waiting for the "
+              "TPU worker and retrying once in a fresh process",
+              file=sys.stderr, flush=True)
+        time.sleep(180)
+        os.environ["PNRT_BENCH_RETRIED"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
