@@ -58,6 +58,12 @@ def main() -> int:
     ap.add_argument("--loop", default="unroll", choices=["unroll", "scan"],
                     help="bounce-loop construction (scan: O(1) compile in "
                     "depth)")
+    ap.add_argument("--trav-tile", type=int, default=None,
+                    help="traversal tile size; 0 = untiled (one lockstep "
+                    "batch); default = RenderConfig default")
+    ap.add_argument("--traversal", default=None,
+                    choices=["packed", "pop", "wide"])
+    ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
     args = ap.parse_args()
@@ -77,8 +83,15 @@ def main() -> int:
     n_calls = max(1, args.frames // k)
     frames = n_calls * k
 
+    overrides = {}
+    if args.trav_tile is not None:
+        overrides["trav_tile"] = args.trav_tile if args.trav_tile > 0 else None
+    if args.traversal is not None:
+        overrides["traversal"] = args.traversal
+    if args.no_compact:
+        overrides["compact_rays"] = False
     cfg = RenderConfig(width=args.width, height=args.height,
-                       max_depth=args.depth, loop=args.loop)
+                       max_depth=args.depth, loop=args.loop, **overrides)
     scene, cam_state = config3_teapot_night(env_height=args.env_height)
     cam_state.aspect = args.width / args.height
     camera = cam_state.basis()
