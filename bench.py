@@ -64,9 +64,24 @@ def main() -> int:
     ap.add_argument("--traversal", default=None,
                     choices=["packed", "pop", "wide"])
     ap.add_argument("--no-compact", action="store_true")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="disable fused NEE shadow rays")
+    ap.add_argument("--sort-rays", action="store_true",
+                    help="coherence-sort live rays when compacting")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke testing)")
+    ap.add_argument("--quiet", action="store_true",
+                    help="suppress phase-progress lines on stderr")
     args = ap.parse_args()
+
+    t_start = time.perf_counter()
+
+    def phase(msg: str) -> None:
+        """Crash forensics: when the TPU worker dies mid-run, the last
+        phase line in the log says which dispatch was in flight."""
+        if not args.quiet:
+            print(f"[bench +{time.perf_counter() - t_start:7.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -90,12 +105,17 @@ def main() -> int:
         overrides["traversal"] = args.traversal
     if args.no_compact:
         overrides["compact_rays"] = False
+    if args.no_fuse:
+        overrides["fuse_shadows"] = False
+    if args.sort_rays:
+        overrides["sort_rays"] = True
     cfg = RenderConfig(width=args.width, height=args.height,
                        max_depth=args.depth, loop=args.loop, **overrides)
     scene, cam_state = config3_teapot_night(env_height=args.env_height)
     cam_state.aspect = args.width / args.height
     camera = cam_state.basis()
     scene = jax.device_put(scene)
+    phase(f"scene on device ({jax.devices()[0].platform})")
 
     if args.bwd:
         from pnraytracing_tpu.diff.grad import (
@@ -188,13 +208,17 @@ def main() -> int:
     # executes programs in order, so fetching the last call's scalar
     # bounds the wall time of every timed dispatch.
     for i in range(args.warmup):
+        phase(f"warmup call {i} (compiling on first run)")
         float(run(0))
+        phase(f"warmup call {i} fetched")
 
     t0 = time.perf_counter()
     for i in range(n_calls):
         out = run(i)
+    phase(f"{n_calls} timed calls dispatched; fetching")
     float(out)
     dt = time.perf_counter() - t0
+    phase("timed fetch complete")
 
     rays_total = cfg.num_pixels * (1 + 3 * cfg.max_depth) * frames
     rays_per_s = rays_total / dt
@@ -221,11 +245,21 @@ def _main_with_retry() -> int:
     try:
         return main()
     except Exception as e:
+        # Only transport/worker failures are worth a blind re-exec; a
+        # deterministic error (bad flags, OOM, shape bug) should surface
+        # immediately with its traceback.
+        msg = f"{type(e).__name__}: {e}"
+        transient = type(e).__name__ == "JaxRuntimeError" and any(
+            s in str(e)
+            for s in ("UNAVAILABLE", "worker process crashed",
+                      "FAILED_PRECONDITION", "DEADLINE_EXCEEDED")
+        )
+        if not transient:
+            raise
         if os.environ.get("PNRT_BENCH_RETRIED"):
-            print(f"bench failed twice: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            print(f"bench failed twice: {msg}", file=sys.stderr)
             return 1
-        print(f"bench attempt failed ({type(e).__name__}); waiting for the "
+        print(f"bench attempt failed ({msg}); waiting for the "
               "TPU worker and retrying once in a fresh process",
               file=sys.stderr, flush=True)
         time.sleep(180)

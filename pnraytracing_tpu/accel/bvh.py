@@ -45,6 +45,39 @@ class BVHArrays:
     def num_nodes(self) -> int:
         return len(self.axis)
 
+    @property
+    def max_depth(self) -> int:
+        return flat_bvh_depth(self.right_child)
+
+
+def flat_bvh_depth(right_child: np.ndarray) -> int:
+    """Max node depth (root = 1) of a flat pre-order BVH.
+
+    The device traversal's per-ray stack holds at most one deferred "far"
+    child per level of the current path, so its required capacity equals
+    this depth; the reference hard-codes a 128-entry stack and relies on the
+    builder never exceeding it (ray_tracing.comp:431), while here the scene
+    builder records the real depth so a too-shallow ``stack_depth`` raises
+    instead of silently corrupting results.
+
+    Works for both builders (numpy and csrc/bvh_builder.cpp) since they
+    share the flat layout: left child at ``i + 1``, right child stored,
+    ``-1`` = leaf.  Pre-order guarantees children have larger indices than
+    their parent, so one forward pass suffices.
+    """
+    rc = np.asarray(right_child)
+    n = len(rc)
+    if n == 0:
+        return 0
+    depth = np.ones(n, dtype=np.int32)
+    for i in range(n):
+        r = rc[i]
+        if r >= 0:
+            d = depth[i] + 1
+            depth[i + 1] = d
+            depth[r] = d
+    return int(depth.max())
+
 
 def triangle_bounds(positions: np.ndarray, indices: np.ndarray):
     """Per-triangle AABB and its center (model.hpp:125-129 builds the same

@@ -249,3 +249,10 @@ class Scene:
     # reference renders black on miss without an HDR; BASELINE.json config 1
     # needs a constant env light).
     env_constant: Optional[jnp.ndarray] = None  # [3]
+    # Max BVH node depth (root = 1), recorded by the scene builder
+    # (accel/bvh.py::flat_bvh_depth).  Static metadata: the integrator
+    # rejects a RenderConfig whose stack_depth cannot hold the deepest
+    # traversal path instead of silently corrupting hits (the reference's
+    # equivalent contract is its fixed 128-entry stack,
+    # ray_tracing.comp:431).  None = unknown (hand-built scenes).
+    bvh_depth: Optional[int] = struct.field(pytree_node=False, default=None)

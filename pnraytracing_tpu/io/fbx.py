@@ -151,10 +151,29 @@ def _layer_values(geom, layer_name, value_name, index_name, n_corners,
     if ref == "IndexToDirect" and indices is not None:
         values = values[np.clip(indices, 0, len(values) - 1)]
     if mapping == "ByPolygonVertex":
+        if len(values) < n_corners:
+            # truncated/malformed layer: surface it and fall back to
+            # geometric normals / zero UVs rather than misalign downstream
+            import warnings
+
+            warnings.warn(
+                f"FBX {layer_name}: {len(values)} ByPolygonVertex values "
+                f"for {n_corners} corners; ignoring layer"
+            )
+            return None
         return values[:n_corners]
     if mapping in ("ByVertice", "ByVertex"):
         ctrl = np.where(poly_vertex_index < 0, ~poly_vertex_index,
                         poly_vertex_index)
+        if len(values) <= int(ctrl.max(initial=0)):
+            import warnings
+
+            warnings.warn(
+                f"FBX {layer_name}: {len(values)} ByVertex values for "
+                f"control point index {int(ctrl.max(initial=0))}; "
+                "ignoring layer"
+            )
+            return None
         return values[np.clip(ctrl, 0, len(values) - 1)]
     if mapping == "AllSame":
         return np.broadcast_to(values[0], (n_corners, width)).copy()

@@ -94,7 +94,19 @@ def _read_accessor(doc, buffers, idx: int) -> np.ndarray:
                 raw, dtype, count=n_comp, offset=start + i * stride
             ) for i in range(count)
         ])
-    return np.ascontiguousarray(out)
+    out = np.ascontiguousarray(out)
+    # Core glTF 2.0 allows normalized integer accessors (u8/u16 TEXCOORD_0,
+    # COLOR_0, s8/s16 in extensions): raw counts map to [0,1] / [-1,1]
+    # (spec 3.6.2.2), not to raw float casts.
+    if acc.get("normalized") and out.dtype.kind in ("u", "i"):
+        info = np.iinfo(out.dtype)
+        if out.dtype.kind == "u":
+            out = out.astype(np.float32) / np.float32(info.max)
+        else:
+            out = np.maximum(
+                out.astype(np.float32) / np.float32(info.max), -1.0
+            )
+    return out
 
 
 def _node_matrix(node: dict) -> np.ndarray:

@@ -215,6 +215,13 @@ def _render_rays(
     differentiate.  ``record=True`` captures the records during a live pass.
     """
     replay = records is not None
+    if scene.bvh_depth is not None and cfg.stack_depth < scene.bvh_depth:
+        raise ValueError(
+            f"RenderConfig.stack_depth={cfg.stack_depth} is too shallow for "
+            f"this scene's BVH (depth {scene.bvh_depth}); the traversal "
+            "stack would silently drop nodes.  Raise stack_depth to at "
+            f"least {scene.bvh_depth}."
+        )
     compat = cfg.compat_pnrt
     has_env = scene.env is not None
     has_lights = scene.lights.count > 0

@@ -234,4 +234,5 @@ class SceneBuilder:
                 else None
             ),
             trav=trav,
+            bvh_depth=built.max_depth,
         )

@@ -111,8 +111,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="cornell", choices=SCENES)
     ap.add_argument("--model", default=None, metavar="PATH",
-                    help="render an OBJ/PLY/glTF/GLB file in a studio "
-                    "setup instead of a named scene")
+                    help="render an OBJ/PLY/glTF/GLB/FBX (binary) file in "
+                    "a studio setup instead of a named scene")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=16)
