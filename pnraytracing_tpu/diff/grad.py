@@ -128,7 +128,7 @@ def render_image_from_params(
     return render_rays(apply_params(scene, params), o, d, px, py, frame, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+@functools.partial(jax.jit, static_argnames=("cfg", "spp", "dual"))
 def loss_and_grad(
     params: dict,
     scene: Scene,
@@ -140,6 +140,7 @@ def loss_and_grad(
     target: jnp.ndarray,
     cfg: RenderConfig,
     spp: int = 1,
+    dual: bool = True,
 ):
     """Squared-error loss against a target ray-color batch and its gradient.
 
@@ -147,8 +148,10 @@ def loss_and_grad(
     and the loss is the *dual-buffer* estimator ``mean((A-t)*(B-t))``:
     ``E[(A-t)(B-t)] = (E[render]-t)^2`` exactly, with no ``Var/n`` term —
     plain MSE of a noisy render is biased toward low-variance (dark)
-    parameters, which wrecks inverse rendering.  ``spp == 1`` falls back to
-    plain (biased) MSE."""
+    parameters, which wrecks inverse rendering.  ``spp == 1`` (or
+    ``dual=False``) falls back to plain MSE — the right choice under a
+    common-random-numbers protocol, where the dual-buffer halves are
+    anti-correlated at the optimum."""
 
     def renders(p, f0, k):
         img = jnp.zeros_like(target)
@@ -159,19 +162,19 @@ def loss_and_grad(
         return img / k
 
     def f(p):
-        if spp >= 2:
+        if spp >= 2 and dual:
             ka = spp // 2
             kb = spp - ka
             a = renders(p, jnp.uint32(frame), ka)
             b = renders(p, jnp.uint32(frame) + jnp.uint32(ka), kb)
             return jnp.mean((a - target) * (b - target))
-        img = renders(p, jnp.uint32(frame), 1)
+        img = renders(p, jnp.uint32(frame), spp)
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(f)(params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+@functools.partial(jax.jit, static_argnames=("cfg", "spp", "dual"))
 def loss_and_grad_replay(
     params: dict,
     scene: Scene,
@@ -183,6 +186,7 @@ def loss_and_grad_replay(
     target: jnp.ndarray,
     cfg: RenderConfig,
     spp: int = 1,
+    dual: bool = True,
 ):
     """Same estimator and gradients as :func:`loss_and_grad`, via the
     trace/replay split: each sample's BVH traversals run ONCE (forward only,
@@ -207,12 +211,12 @@ def loss_and_grad_replay(
         return img / k
 
     def f(p):
-        if spp >= 2:
+        if spp >= 2 and dual:
             ka = spp // 2
             a = renders(p, 0, ka)
             b = renders(p, ka, spp - ka)
             return jnp.mean((a - target) * (b - target))
-        return jnp.mean((renders(p, 0, 1) - target) ** 2)
+        return jnp.mean((renders(p, 0, spp) - target) ** 2)
 
     return jax.value_and_grad(f)(params)
 
@@ -228,11 +232,25 @@ def adam_optimize(
     frame_offset: int = 0,
     spp_per_step: int = 4,
     use_replay: bool = True,
+    resample: bool = True,
+    grad_mask: dict | None = None,
 ):
     """Small self-contained inverse-rendering loop (BASELINE config 5's
     "differentiable material/env optimization").  Returns (optimized scene,
     loss history).  ``use_replay`` picks the trace/replay gradient step
-    (traversal excluded from the backward pass, same gradients)."""
+    (traversal excluded from the backward pass, same gradients).
+
+    ``resample=False`` renders the SAME frame window every step
+    (common random numbers): pair it with a target rendered from
+    ``frame_offset`` at the same spp and the sampling noise cancels
+    exactly at the optimum — the right protocol when the signal (e.g.
+    small geometry motion) is weaker than the per-step sample variance.
+
+    ``grad_mask`` (same structure as the params dict, broadcastable
+    leaves) freezes coordinates where the mask is 0 — e.g. optimize one
+    object's vertices while pinning the light geometry.  Without it,
+    adam's per-coordinate normalization moves near-zero-gradient
+    coordinates at full ``lr`` speed (they just follow noise)."""
     import optax
 
     from pnraytracing_tpu.core.camera import camera_rays
@@ -250,9 +268,14 @@ def adam_optimize(
     for step in range(steps):
         loss, grads = grad_fn(
             params, scene, o, d, px, py,
-            jnp.uint32(frame_offset + step * spp_per_step), target, cfg,
-            spp=spp_per_step,
+            jnp.uint32(frame_offset + (step * spp_per_step if resample else 0)),
+            target, cfg,
+            spp=spp_per_step, dual=resample,
         )
+        if grad_mask is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads, grad_mask
+            )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # project back into the physical domain (clips also stop the
@@ -261,5 +284,12 @@ def adam_optimize(
             params["materials"] = params["materials"].sanitized()
         if "env_image" in params:
             params["env_image"] = jnp.maximum(params["env_image"], 0.0)
+        if "positions" in params:
+            # finite motion invalidates the template's BVH/trav: keep
+            # traversal consistent with the optimized geometry (array
+            # shapes are unchanged, so no recompilation)
+            scene = refit_scene(
+                apply_params(scene, {"positions": params["positions"]})
+            )
         losses.append(float(loss))
     return apply_params(scene, params), losses

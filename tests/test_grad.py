@@ -145,3 +145,49 @@ def test_refit_after_moving_geometry():
     mat = np.asarray(refit.mesh.material_id)[np.asarray(refit.lights.tri_index)]
     em = np.asarray(refit.materials.emissive)[mat]
     assert (em != 0).any(axis=1).all()
+
+
+def _loss_refit(positions, scene, o, d, px, py, target, cfg=CFG):
+    """Loss after grafting perturbed positions AND refitting acceleration
+    data.  Finite motion must refit: rendering perturbed vertices against
+    the template BVH/trav self-shadows the surface on one side (shadow-ray
+    origins land behind the stale geometry), which poisons FD quotients.
+    The AD gradient assumes traversal consistent with geometry
+    (infinitesimal motion), so this is the matching FD protocol."""
+    from pnraytracing_tpu.render.integrator import render_rays
+
+    s = refit_scene(apply_params(scene, {"positions": positions}))
+    img = render_rays(s, o, d, px, py, jnp.uint32(0), cfg)
+    return float(jnp.mean((img - target) ** 2))
+
+
+def test_vertex_position_gradient_finite_difference():
+    """FD check of d(loss)/d(vertex position): the autodiff gradient
+    captures the smooth shading terms (hit distance, light geometry,
+    normals); pixel rays here sit well inside the triangle so no visibility
+    edge flips within eps.  Geometry terms: include/triangle.hpp:15-115."""
+    scene, _ = tiny_scene()
+    # zoom into the triangle interior: every pixel ray hits ~1 unit from
+    # any edge, so a +-eps vertex move cannot flip a hit (the AD gradient
+    # has no silhouette term — an edge flip would poison the FD quotient)
+    cam = make_camera((0, -0.6, 4), (0, -0.6, 0), (0, 1, 0), 12.0, 1.0)
+    o, d, px, py, target = setup(scene, cam)
+    params = extract_params(scene, ("positions",))
+    _, grads = loss_and_grad(params, scene, o, d, px, py, jnp.uint32(0),
+                             target, CFG)
+    g = np.asarray(grads["positions"])
+
+    eps = 2e-3
+    pos = params["positions"]
+    checked = 0
+    for v, ch in ((0, 2), (1, 2), (2, 0)):  # two z's and one x
+        fd = (
+            _loss_refit(pos.at[v, ch].add(eps), scene, o, d, px, py, target)
+            - _loss_refit(pos.at[v, ch].add(-eps), scene, o, d, px, py,
+                          target)
+        ) / (2 * eps)
+        if abs(fd) < 1e-7 and abs(g[v, ch]) < 1e-7:
+            continue  # both zero: nothing to compare
+        np.testing.assert_allclose(g[v, ch], fd, rtol=0.08, atol=1e-6)
+        checked += 1
+    assert checked >= 2, "FD signal too weak to validate anything"

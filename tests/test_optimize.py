@@ -62,3 +62,68 @@ def test_unconstrained_params_cannot_nan_forward():
     ))
     img = np.asarray(render(scene, cam, CFG, spp=1))
     assert np.isfinite(img).all()
+
+
+def test_geometry_recovery_translation():
+    """Recover an in-plane triangle translation by gradient descent with
+    refit_scene in the loop (SURVEY §4 / VERDICT r2 item 5).
+
+    Protocol notes (each choice is load-bearing):
+    * in-plane motion — hit points stay on the triangle's plane, so no
+      shadow/visibility state flips; the loss is the smooth
+      texture-registration signal AD actually models (path-replay has no
+      silhouette term, like the estimator it differentiates);
+    * resample=False (common random numbers) — target and steps share
+      frame seeds, so sampling noise cancels exactly at the optimum
+      instead of burying the ~1e-4 signal;
+    * grad_mask — pins the light geometry: adam's per-coordinate
+      normalization would otherwise walk near-zero-gradient vertices at
+      full lr.
+    """
+    import jax.numpy as jnp
+
+    from pnraytracing_tpu.core.camera import make_camera
+    from pnraytracing_tpu.diff.grad import adam_optimize, refit_scene
+    from pnraytracing_tpu.scene.transform import compose, rotate
+
+    def build_tri():
+        h = w = 16
+        u = np.linspace(0.1, 0.9, w)[None, :, None]
+        v = np.linspace(0.1, 0.9, h)[:, None, None]
+        tex = np.concatenate([
+            np.broadcast_to(u, (h, w, 1)),
+            np.broadcast_to(v, (h, w, 1)),
+            np.full((h, w, 1), 0.5),
+        ], -1).astype(np.float32)
+        b = SceneBuilder()
+        b.add(shapes.triangle((-2, -2, 0), (2, -2, 0), (0, 2, 0)),
+              dict(base_color=(1, 1, 1), roughness=0.9), name="tri",
+              texture=tex)
+        b.add(shapes.quad(half=0.7), dict(emissive=(8.0, 8.0, 8.0)),
+              name="light",
+              transform=compose(translate(0, 3, 2), rotate(180, (0, 0, 1))))
+        return b.build(env_constant=(0.3, 0.3, 0.35))
+
+    cfg = RenderConfig(width=12, height=12, max_depth=1, sampler="hash",
+                       clamp_radiance=False)
+    cam = make_camera((0, -0.6, 4), (0, -0.6, 0), (0, 1, 0), 16.0, 1.0)
+    target = render(build_tri(), cam, cfg, spp=4, start_frame=0)
+
+    scene0 = build_tri()
+    pos = np.asarray(scene0.mesh.positions).copy()
+    true_pos = pos[:3].copy()
+    pos[:3, 0] += 0.08
+    pos[:3, 1] -= 0.06
+    scene0 = refit_scene(
+        scene0.replace(mesh=scene0.mesh.replace(positions=jnp.asarray(pos)))
+    )
+    mask = jnp.zeros((len(pos), 3)).at[:3, :2].set(1.0)
+    out, losses = adam_optimize(
+        scene0, cam, cfg, target, keys=("positions",), steps=80, lr=0.004,
+        spp_per_step=4, resample=False, grad_mask={"positions": mask},
+    )
+    assert not any(np.isnan(l) for l in losses)
+    assert losses[-1] < losses[0] * 0.01, f"loss did not collapse: {losses[::20]}"
+    err0 = np.abs(pos[:3] - true_pos).max()
+    err1 = np.abs(np.asarray(out.mesh.positions)[:3] - true_pos).max()
+    assert err1 < err0 * 0.1, f"translation not recovered: {err0} -> {err1}"
