@@ -40,10 +40,8 @@ def initialize(coordinator_address: str | None = None,
 
 
 def is_initialized() -> bool:
-    try:
-        return jax.process_count() > 1 or jax._src.distributed.global_state.client is not None
-    except Exception:
-        return False
+    """Whether the multi-process runtime is up (public API)."""
+    return bool(jax.distributed.is_initialized())
 
 
 def all_hosts_image(local_sharded_image):

@@ -39,10 +39,34 @@ AXIS = "tiles"
 
 
 def make_device_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first n (default: all) local devices."""
+    """1-D mesh over the first n (default: all) devices.  After
+    ``parallel.distributed.initialize`` this spans every host's chips."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     return Mesh(np.asarray(devs[:n]), (AXIS,))
+
+
+def to_global(tree, mesh: Mesh, spec: P):
+    """Assemble global jax.Arrays on a (possibly multi-host) mesh from
+    host data every process holds in full.
+
+    Each process slices its addressable chunk out of its own full copy
+    (``jax.make_array_from_callback``) — the multi-host analogue of
+    ``jax.device_put``: scenes are replicated (``P()``), ray batches
+    sharded (``P(AXIS)``).  Deterministic inputs (camera grids, loaded
+    scenes) are identical on every host, so no broadcast is needed."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+
+    def put(x):
+        if x is None:
+            return None
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def pad_to_multiple(x: jnp.ndarray, m: int):
@@ -78,6 +102,16 @@ def shard_render_rays(
         pad_to_multiple(py, n),
     )
 
+    frame = jnp.asarray(frame, jnp.uint32)
+    if jax.process_count() > 1:
+        # multi-host: shard_map needs global arrays; every process holds
+        # identical full inputs, so each contributes its own chunk
+        scene = to_global(scene, mesh, P())
+        o_p, d_p, px_p, py_p = (
+            to_global(x, mesh, P(AXIS)) for x in (o_p, d_p, px_p, py_p)
+        )
+        frame = to_global(frame, mesh, P())
+
     fn = shard_map(
         functools.partial(render_rays, cfg=cfg),
         mesh=mesh,
@@ -85,8 +119,8 @@ def shard_render_rays(
         out_specs=P(AXIS),
         check_vma=False,
     )
-    out = fn(scene, o_p, d_p, px_p, py_p, jnp.asarray(frame, jnp.uint32))
-    return out[:r]
+    out = fn(scene, o_p, d_p, px_p, py_p, frame)
+    return out if r == out.shape[0] else out[:r]
 
 
 def render_frame_sharded(

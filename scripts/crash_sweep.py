@@ -31,6 +31,85 @@ def case_matmul():
     return float((x @ x).sum())
 
 
+def case_flops():
+    """Speed forensics: 10 chained 4096^2 bf16 matmuls, fetch-bounded.
+    A real v5e MXU (~200 TFLOP/s bf16) finishes ~1.4 TFLOP in ~10 ms;
+    a CPU emulating the device needs minutes.  Distinguishes 'chip is
+    fast, our program is latency-bound' from 'tunnel executes slowly'."""
+    n, iters = 4096, 10
+    x = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def f(x):
+        def body(i, acc):
+            return (acc @ x) * jnp.bfloat16(0.5)
+
+        return jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32).sum()
+
+    float(f(x))  # warmup/compile
+    t0 = time.perf_counter()
+    chk = float(f(x))
+    dt = time.perf_counter() - t0
+    tflops = 2 * n**3 * iters / dt / 1e12
+    log(f"flops: {tflops:.2f} TFLOP/s (dt={dt*1e3:.1f} ms)")
+    return chk
+
+
+def case_membw():
+    """HBM bandwidth probe: 10 passes of read+write over a 512 MB array,
+    fetch-bounded.  v5e HBM ~ 800 GB/s; host emulation ~ 10 GB/s."""
+    n = 128 * 1024 * 1024  # 512 MB of f32
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        def body(i, v):
+            return v * 1.0000001 + 0.5
+        return jax.lax.fori_loop(0, 10, body, x).sum()
+
+    float(f(x))
+    t0 = time.perf_counter()
+    chk = float(f(x))
+    dt = time.perf_counter() - t0
+    gbs = 10 * 2 * 4 * n / dt / 1e9
+    log(f"membw: {gbs:.1f} GB/s (dt={dt*1e3:.1f} ms)")
+    return chk
+
+
+def case_gather_rate():
+    """Dynamic-gather throughput: the traversal's dominant primitive.
+    Times 256 sequential [65536]-lane row gathers from a [40000, 8]
+    table inside one program (fetch-bounded) — reports gathers/s and
+    effective GB/s so the render's per-iteration cost has a roofline."""
+    table = jnp.arange(40000 * 8, dtype=jnp.float32).reshape(40000, 8)
+    idx0 = jnp.arange(65536, dtype=jnp.int32) % 40000
+    iters = 256
+
+    @jax.jit
+    def f(table, idx):
+        def body(i, state):
+            idx, acc = state
+            rows = table[idx]
+            acc = acc + rows.sum(axis=1)
+            idx = (idx * 7 + 13) % 40000
+            return idx, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, iters, body, (idx0, jnp.zeros((65536,), jnp.float32))
+        )
+        return acc.sum()
+
+    float(f(table, idx0))
+    t0 = time.perf_counter()
+    chk = float(f(table, idx0))
+    dt = time.perf_counter() - t0
+    per_gather = dt / iters
+    gbs = 65536 * 8 * 4 / per_gather / 1e9
+    log(f"gather_rate: {per_gather*1e6:.1f} us/gather-pass, {gbs:.1f} GB/s "
+        f"(dt={dt*1e3:.1f} ms)")
+    return chk
+
+
 def case_gather():
     """Synthetic stand-in for traversal: a while loop of dynamic row
     gathers over a node-table-sized array, 16k lanes."""
@@ -108,6 +187,9 @@ def main():
     t0 = time.perf_counter()
     fn = {
         "matmul": case_matmul,
+        "flops": case_flops,
+        "membw": case_membw,
+        "gather_rate": case_gather_rate,
         "gather": case_gather,
         "trav": case_trav,
         "trav_notile": lambda: case_trav(tile_size=None),
