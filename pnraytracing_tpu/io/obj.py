@@ -48,12 +48,19 @@ def load_mtl(path: str) -> dict[str, dict]:
 
 
 def load_texture(path: str) -> np.ndarray | None:
-    """Load an LDR texture as [h, w, 3] float32 in [0, 1]."""
+    """Load an LDR texture as [h, w, 3] float32 in [0, 1].
+
+    PNGs decode through the first-party reader (io/png.py, the stb_image
+    counterpart); other formats fall back to PIL when available."""
+    if not os.path.exists(path):
+        return None
+    if path.lower().endswith(".png"):
+        from pnraytracing_tpu.io.png import read_png_rgb
+
+        return read_png_rgb(path)
     try:
         from PIL import Image
     except ImportError:
-        return None
-    if not os.path.exists(path):
         return None
     im = Image.open(path).convert("RGB")
     return np.asarray(im, np.float32) / 255.0

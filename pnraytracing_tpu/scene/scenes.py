@@ -226,13 +226,44 @@ def config4_marry(aspect: float = 1.0):
     """Config 4: multi-mesh textured scene (marry + floor class): several
     textured objects, Sobol sampling, 4 bounces."""
     b = SceneBuilder()
-    marry_obj = "/root/reference/model/marry/marry.obj"
+    marry_dir = "/root/reference/model/marry"
+    marry_obj = os.path.join(marry_dir, "marry.obj")
+    marry_mtl = os.path.join(marry_dir, "Marry.mtl")
     if os.path.exists(marry_obj):
         from pnraytracing_tpu.io import load_obj
 
         for mesh, mat, tex, name in load_obj(marry_obj):
             mat.setdefault("base_color", (0.8, 0.8, 0.8))
             b.add(mesh, mat, name=name, texture=tex)
+    elif os.path.exists(marry_mtl):
+        # The asset mirror keeps only marry's MTL + map_Kd texture (the
+        # OBJ mesh was stripped); use the REAL material + texture
+        # (main.cpp:320-339 loads the same files through assimp) on
+        # stand-in geometry.
+        from pnraytracing_tpu.io.obj import load_mtl, load_texture
+
+        mtl = load_mtl(marry_mtl)
+        body = mtl.get("MC003_Kozakura_Mari", {})
+        tex = load_texture(body.pop("map_Kd", ""))
+        body.setdefault("base_color", (0.8, 0.8, 0.8))
+        b.add(
+            shapes.teapot(),
+            dict(body, roughness=0.55),
+            name="marry",
+            transform=compose(translate(0.1, 0, -0.5), scale(0.35)),
+            texture=tex,
+            texture_key="MC003_Kozakura_Mari",
+        )
+        second = next((m for n, m in mtl.items()
+                       if n != "MC003_Kozakura_Mari"), {})
+        second.pop("map_Kd", None)
+        second.setdefault("base_color", (0.9, 0.9, 0.9))
+        b.add(
+            shapes.icosphere(4),
+            dict(second, metallic=0.3, roughness=0.35),
+            name="sphere",
+            transform=compose(translate(-1.4, 0.5, 0.3), scale(0.5)),
+        )
     else:
         b.add(
             shapes.teapot(),

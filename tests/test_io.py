@@ -93,3 +93,53 @@ def test_marry_texture_loads_if_present():
     tex = load_texture(path)
     assert tex is not None and tex.ndim == 3 and tex.shape[2] == 3
     assert 0.0 <= tex.min() and tex.max() <= 1.0
+
+
+def test_png_reader_roundtrip(tmp_path):
+    """First-party PNG reader decodes the first-party writer's output
+    (stored-deflate RGB) exactly."""
+    import numpy as np
+
+    from pnraytracing_tpu.io.png import read_png_rgb
+    from pnraytracing_tpu.utils.image import save_png
+
+    rng = np.random.default_rng(7)
+    img = rng.random((33, 47, 3)).astype(np.float32)
+    p = str(tmp_path / "rt.png")
+    save_png(p, img, gamma=1.0)  # gamma 1: bytes are round(img*255)
+    back = read_png_rgb(p)
+    np.testing.assert_allclose(back, np.round(img * 255) / 255, atol=1e-7)
+
+
+def test_png_reader_matches_pil_on_filtered_files(tmp_path):
+    """PIL-written PNGs exercise real scanline filters (Sub/Up/Avg/Paeth)
+    and palette/gray/alpha color types."""
+    import numpy as np
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    from pnraytracing_tpu.io.png import read_png, read_png_rgb
+
+    rng = np.random.default_rng(3)
+    # smooth gradient + noise: encoders pick varied filters per row
+    g = np.linspace(0, 255, 64)[:, None] + rng.integers(0, 40, (64, 96))
+    base = np.clip(g, 0, 255).astype(np.uint8)
+    cases = {
+        "rgb": np.stack([base, base[::-1], base[:, ::-1]], -1),
+        "gray": base,
+        "rgba": np.stack([base, base[::-1], base[:, ::-1],
+                          np.full_like(base, 200)], -1),
+    }
+    for name, arr in cases.items():
+        p = str(tmp_path / f"{name}.png")
+        PIL.fromarray(arr).save(p)
+        ours = read_png(p)
+        ref = np.asarray(PIL.open(p).convert("RGB"), np.float32) / 255.0
+        np.testing.assert_allclose(read_png_rgb(p), ref, atol=1e-7)
+    # palette
+    pal_img = PIL.fromarray(cases["rgb"]).quantize(colors=17)
+    p = str(tmp_path / "pal.png")
+    pal_img.save(p)
+    ref = np.asarray(PIL.open(p).convert("RGB"), np.float32) / 255.0
+    np.testing.assert_allclose(read_png_rgb(p), ref, atol=1e-7)
