@@ -110,7 +110,7 @@ class RenderConfig:
     def __post_init__(self):
         assert self.loop in ("unroll", "scan")
         assert self.sampler in ("sobol", "hash")
-        assert self.traversal in ("wide", "packed", "pop")
+        assert self.traversal in ("wide", "packed", "pop", "packet")
         assert self.mis in ("reference", "balanced")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"

@@ -43,6 +43,10 @@ from pnraytracing_tpu.accel.traverse_packed import (
     closest_hit_packed,
     closest_hit_pop,
 )
+from pnraytracing_tpu.accel.traverse_packet import (
+    any_hit_packet,
+    closest_hit_packet,
+)
 from pnraytracing_tpu.accel.traverse_wide import any_hit_wide, closest_hit_wide
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.math import (
@@ -256,6 +260,8 @@ def _render_rays(
             _closest_fn, _occluded_fn = closest_hit_wide, any_hit_wide
         elif cfg.traversal == "pop":
             _closest_fn, _occluded_fn = closest_hit_pop, any_hit_pop
+        elif cfg.traversal == "packet":
+            _closest_fn, _occluded_fn = closest_hit_packet, any_hit_packet
         else:
             _closest_fn, _occluded_fn = closest_hit_packed, any_hit_packed
 
