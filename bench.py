@@ -43,10 +43,12 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--depth", type=int, default=4)
-    ap.add_argument("--frames", type=int, default=128,
+    ap.add_argument("--frames", type=int, default=8,
                     help="total timed frames (1 spp each)")
-    ap.add_argument("--frames-per-call", type=int, default=32,
-                    help="frames accumulated inside one compiled program")
+    ap.add_argument("--frames-per-call", type=int, default=1,
+                    help="frames accumulated inside one compiled program "
+                    "(keep low on the tunneled chip: the worker kills "
+                    "program executions that run past its deadline)")
     ap.add_argument("--warmup", type=int, default=1, help="warmup calls")
     ap.add_argument("--bwd", action="store_true",
                     help="benchmark forward+backward instead of forward")
@@ -62,7 +64,7 @@ def main() -> int:
                     help="traversal tile size; 0 = untiled (one lockstep "
                     "batch); default = RenderConfig default")
     ap.add_argument("--traversal", default=None,
-                    choices=["packed", "pop", "wide"])
+                    choices=["packed", "pop", "wide", "packet"])
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable fused NEE shadow rays")

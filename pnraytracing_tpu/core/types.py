@@ -190,6 +190,15 @@ class EnvMap:
     pdf_xy: jnp.ndarray  # [W, H] f32 normalized 2-D probability mass
     cdf_marginal_x: jnp.ndarray  # [W] f32
     cdf_y_given_x: jnp.ndarray  # [W, H] f32
+    # Walker alias tables (host-built at scene build, ops/envmap.py):
+    # EXACTLY the CDF distribution sampled with O(1) gathers per ray —
+    # the TPU analogue of the reference's pre-inverted lookup texture
+    # (shader.hpp:183-203).  None during in-graph rebuilds (env texel
+    # optimization), where sampling falls back to CDF bisection.
+    # alias_x packs [prob, alias] per column: [W, 2]; alias_y per texel:
+    # [W, H, 2].  Alias ids are stored as exact small-int floats.
+    alias_x: jnp.ndarray | None = None  # [W, 2] f32
+    alias_y: jnp.ndarray | None = None  # [W, H, 2] f32
 
     @property
     def height(self) -> int:

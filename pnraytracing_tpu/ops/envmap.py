@@ -62,9 +62,44 @@ def _bisect_rows(table: jnp.ndarray, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndar
     return lo
 
 
-def build_envmap(image: jnp.ndarray) -> EnvMap:
+def _alias_table(p: "np.ndarray"):
+    """Walker alias table for a probability vector (host-side, O(n)).
+
+    Returns (prob [n], alias [n]): sample j = floor(u*n); keep j if the
+    fractional part < prob[j], else take alias[j].  The resulting
+    distribution is EXACTLY p (Vose's stable construction)."""
+    import numpy as np
+
+    n = len(p)
+    p = np.asarray(p, np.float64)
+    s = p.sum()
+    p = p / s if s > 0 else np.full(n, 1.0 / n)
+    prob = np.zeros(n)
+    alias = np.arange(n, dtype=np.int64)
+    scaled = p * n
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s_i = small.pop()
+        l_i = large.pop()
+        prob[s_i] = scaled[s_i]
+        alias[s_i] = l_i
+        scaled[l_i] = (scaled[l_i] + scaled[s_i]) - 1.0
+        (small if scaled[l_i] < 1.0 else large).append(l_i)
+    for i in large + small:  # numerical leftovers sample themselves
+        prob[i] = 1.0
+    return prob.astype(np.float32), alias
+
+
+def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
     """Build sampling tables from an [H, W, 3] radiance image
-    (shader.hpp:145-181, minus the inversion bake)."""
+    (shader.hpp:145-181, minus the inversion bake).
+
+    ``alias=True`` additionally bakes Walker alias tables host-side (the
+    TPU analogue of the reference's pre-inverted texture): per-ray
+    sampling then costs 2 row gathers instead of ~20 bisection gathers.
+    Leave False for in-graph rebuilds (env optimization), where the
+    tables cannot be constructed from traced values."""
     image = jnp.asarray(image, jnp.float32)
     lum = hdr_luminance(image)  # [H, W]
     pdf_xy = lum.T  # [W, H] — reference's pdf[x][y] layout
@@ -74,11 +109,31 @@ def build_envmap(image: jnp.ndarray) -> EnvMap:
     cdf_marginal_x = jnp.cumsum(pdf_marginal_x)
     cond = pdf_xy / jnp.maximum(pdf_marginal_x[:, None], 1e-20)
     cdf_y_given_x = jnp.cumsum(cond, axis=1)
+    alias_x = alias_y = None
+    if alias:
+        import numpy as np
+
+        w, h = int(pdf_xy.shape[0]), int(pdf_xy.shape[1])
+        px = np.asarray(pdf_marginal_x)
+        prob_x, al_x = _alias_table(px)
+        alias_x = jnp.asarray(
+            np.stack([prob_x, al_x.astype(np.float32)], axis=1)
+        )
+        cond_np = np.asarray(pdf_xy)
+        prob_y = np.zeros((w, h), np.float32)
+        al_y = np.zeros((w, h), np.float32)
+        for xcol in range(w):
+            pcol, acol = _alias_table(cond_np[xcol])
+            prob_y[xcol] = pcol
+            al_y[xcol] = acol.astype(np.float32)
+        alias_y = jnp.asarray(np.stack([prob_y, al_y], axis=-1))
     return EnvMap(
         image=image,
         pdf_xy=pdf_xy,
         cdf_marginal_x=cdf_marginal_x,
         cdf_y_given_x=cdf_y_given_x,
+        alias_x=alias_x,
+        alias_y=alias_y,
     )
 
 
@@ -98,12 +153,25 @@ def sample_envmap(env: EnvMap, u1: jnp.ndarray, u2: jnp.ndarray, compat: bool = 
     u1, u2: [R] uniforms.  Returns (dir [R,3], radiance [R,3], pdf [R]).
     """
     w, h = env.width, env.height
-    x = jnp.clip(
-        jnp.searchsorted(env.cdf_marginal_x, u1, side="left"), 0, w - 1
-    ).astype(jnp.int32)
-    y = jnp.clip(_bisect_rows(env.cdf_y_given_x, x, u2), 0, h - 1).astype(
-        jnp.int32
-    )
+    if env.alias_x is not None and not compat:
+        # Walker alias sampling: 2 row gathers total, same distribution
+        # as the CDF inversion (fractional parts conditioned on the cell
+        # are uniform, so reusing them is exact)
+        j1 = jnp.clip((u1 * w).astype(jnp.int32), 0, w - 1)
+        frac1 = u1 * w - j1.astype(jnp.float32)
+        rowx = env.alias_x[j1]  # [R, 2]
+        x = jnp.where(frac1 < rowx[:, 0], j1, rowx[:, 1].astype(jnp.int32))
+        j2 = jnp.clip((u2 * h).astype(jnp.int32), 0, h - 1)
+        frac2 = u2 * h - j2.astype(jnp.float32)
+        rowy = env.alias_y[x, j2]  # [R, 2]
+        y = jnp.where(frac2 < rowy[:, 0], j2, rowy[:, 1].astype(jnp.int32))
+    else:
+        x = jnp.clip(
+            jnp.searchsorted(env.cdf_marginal_x, u1, side="left"), 0, w - 1
+        ).astype(jnp.int32)
+        y = jnp.clip(_bisect_rows(env.cdf_y_given_x, x, u2), 0, h - 1).astype(
+            jnp.int32
+        )
 
     p2d = env.pdf_xy[x, y]  # [R]
     if compat:

@@ -207,7 +207,10 @@ class SceneBuilder:
             total_area=jnp.asarray(prefix[-1] if len(prefix) else 0.0, jnp.float32),
         )
 
-        env = build_envmap(jnp.asarray(env_image)) if env_image is not None else None
+        env = (
+            build_envmap(jnp.asarray(env_image), alias=True)
+            if env_image is not None else None
+        )
         atlas = build_atlas(textures)
 
         # gather-minimized traversal layout (fits when leaves are small; the

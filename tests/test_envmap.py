@@ -130,3 +130,66 @@ def test_bisect_rows_matches_searchsorted():
             for xi, ui in zip(x, u)
         ])
         np.testing.assert_array_equal(got, want)
+
+
+def test_alias_sampling_matches_cdf_distribution():
+    """Alias tables (scene-build path) must induce the same texel
+    distribution as CDF inversion — both are exact inversions of pdf_xy."""
+    import numpy as np
+
+    from pnraytracing_tpu.io.hdr import procedural_sky
+    from pnraytracing_tpu.ops.envmap import build_envmap, sample_envmap
+
+    img = procedural_sky(16, 32)
+    env_cdf = build_envmap(jnp.asarray(img), alias=False)
+    env_alias = build_envmap(jnp.asarray(img), alias=True)
+    assert env_alias.alias_x is not None
+
+    rng = np.random.default_rng(0)
+    n = 200_000
+    u1 = jnp.asarray(rng.random(n, dtype=np.float32))
+    u2 = jnp.asarray(rng.random(n, dtype=np.float32))
+
+    def hist(env):
+        d, rad, pdf = sample_envmap(env, u1, u2)
+        # invert direction back to texel uv to histogram texels
+        from pnraytracing_tpu.core.math import spherical_uv
+
+        uv = np.asarray(spherical_uv(d))
+        x = np.clip((uv[:, 0] * env.width).astype(int), 0, env.width - 1)
+        y = np.clip((uv[:, 1] * env.height).astype(int), 0, env.height - 1)
+        h2 = np.zeros((env.width, env.height))
+        np.add.at(h2, (x, y), 1.0)
+        return h2 / n, np.asarray(pdf)
+
+    h_alias, pdf_alias = hist(env_alias)
+    h_cdf, _ = hist(env_cdf)
+    p = np.asarray(env_cdf.pdf_xy)
+    # both histograms estimate pdf_xy; compare each against the truth
+    for h in (h_alias, h_cdf):
+        err = np.abs(h - p)[p > 1e-5] / p[p > 1e-5]
+        assert np.quantile(err, 0.9) < 0.2, "sampled histogram far from pdf"
+    assert np.isfinite(pdf_alias).all() and (pdf_alias > 0).all()
+
+
+def test_alias_pdf_consistent_with_reported_pdf():
+    """The pdf returned for alias samples must match envmap_pdf of the
+    sampled direction (the MIS weights depend on this consistency)."""
+    import numpy as np
+
+    from pnraytracing_tpu.io.hdr import procedural_sky
+    from pnraytracing_tpu.ops.envmap import (
+        build_envmap,
+        envmap_pdf,
+        sample_envmap,
+    )
+
+    img = procedural_sky(16, 32)
+    env = build_envmap(jnp.asarray(img), alias=True)
+    rng = np.random.default_rng(4)
+    u1 = jnp.asarray(rng.random(4096, dtype=np.float32))
+    u2 = jnp.asarray(rng.random(4096, dtype=np.float32))
+    d, rad, pdf = sample_envmap(env, u1, u2)
+    pdf2 = envmap_pdf(env, d)
+    np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2),
+                               rtol=1e-4, atol=1e-8)
