@@ -32,10 +32,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-# Round-1 reference point for vs_baseline: the first measured number of this
-# framework on one TPU v5e chip (recorded in BASELINE.md).  Later rounds
-# report their speedup against it.
-BASELINE_RAYS_PER_S = 1.52e9
+# vs_baseline anchor: the HBM-roofline rays/s for the flagship query mix
+# on a v5e chip (BASELINE.md round-3 roofline: ~670 gathered bytes per
+# query at spec 819 GB/s).  The reported ratio therefore reads "fraction
+# of roofline".  (Round-1/2 measured anchors were invalidated by the
+# tunnel's timing behavior — BASELINE.md integrity notes.)
+BASELINE_RAYS_PER_S = 1.2e9
 
 
 def main() -> int:

@@ -70,11 +70,50 @@ class Materials:
         return cls(**fields)
 
     def gather(self, idx: jnp.ndarray) -> "Materials":
-        """Row-gather all fields (device-side material fetch, the analogue of
-        ``GetMaterial`` ray_tracing.comp:122-144)."""
+        """Per-ray material fetch (the analogue of ``GetMaterial``,
+        ray_tracing.comp:122-144).
+
+        TPU note: a field-by-field SoA fetch issues 14 separate dynamic
+        gathers per call.  Instead the fields are packed into ONE [M, 18]
+        matrix and selected with a one-hot f32 matmul on the MXU (exact:
+        rows of a one-hot matrix sum a single addend) — zero gathers, and
+        gradients flow to the fields through the matmul exactly like a
+        gather's scatter-add.  Falls back to a single packed row-gather
+        when the material count is large enough that the [R, M] one-hot
+        would dominate."""
         import jax
 
-        return jax.tree_util.tree_map(lambda a: a[idx], self)
+        packed = jnp.concatenate(
+            [
+                self.emissive,
+                self.base_color,
+                jnp.stack(
+                    [
+                        self.subsurface, self.metallic, self.specular,
+                        self.specular_tint, self.roughness, self.anisotropic,
+                        self.sheen, self.sheen_tint, self.clearcoat,
+                        self.clearcoat_gloss, self.ior, self.transmission,
+                    ],
+                    axis=1,
+                ),
+            ],
+            axis=1,
+        )  # [M, 18]
+        m = packed.shape[0]
+        if m <= 32:
+            oh = jax.nn.one_hot(idx, m, dtype=jnp.float32)  # [R, M]
+            rows = oh @ packed  # [R, 18] on the MXU
+        else:
+            rows = packed[idx]  # one gather instead of 14
+        s = [rows[:, 6 + k] for k in range(12)]
+        return Materials(
+            emissive=rows[:, 0:3],
+            base_color=rows[:, 3:6],
+            subsurface=s[0], metallic=s[1], specular=s[2],
+            specular_tint=s[3], roughness=s[4], anisotropic=s[5],
+            sheen=s[6], sheen_tint=s[7], clearcoat=s[8],
+            clearcoat_gloss=s[9], ior=s[10], transmission=s[11],
+        )
 
     def sanitized(self) -> "Materials":
         """Clamp every parameter to its physical domain (the range the

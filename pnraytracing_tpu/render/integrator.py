@@ -120,8 +120,32 @@ def _stop_gradient_trace(fn, *args, **kw):
     return fn(*jax.lax.stop_gradient(args), **kw)
 
 
+def pack_interaction_rows(mesh: TriangleMesh) -> jnp.ndarray:
+    """[T, 26] per-triangle interaction table: corner positions (9),
+    corner normals (9), corner uvs (6), material_id, texture_id.
+
+    One row-gather then replaces the ~10 separate dynamic gathers a
+    shading-point fill would issue (indices + 3x positions/normals/uvs +
+    ids) — the same bytes, one gather pass.  Built in-graph from the mesh
+    so gradients to positions/normals/uvs flow through it unchanged; ids
+    are small ints, exact in f32."""
+    t = mesh.indices.shape[0]
+    p = mesh.positions[mesh.indices].reshape(t, 9)
+    n = mesh.normals[mesh.indices].reshape(t, 9)
+    uv = mesh.uvs[mesh.indices].reshape(t, 6)
+    ids = jnp.stack(
+        [mesh.material_id.astype(jnp.float32),
+         mesh.texture_id.astype(jnp.float32)], axis=1
+    )
+    return jnp.concatenate([p, n, uv, ids], axis=1)
+
+
 def make_interaction(
-    mesh: TriangleMesh, hit: Hit, ray_d: jnp.ndarray, ray_o: jnp.ndarray | None = None
+    mesh: TriangleMesh,
+    hit: Hit,
+    ray_d: jnp.ndarray,
+    ray_o: jnp.ndarray | None = None,
+    rows: jnp.ndarray | None = None,
 ):
     """Differentiable surface attributes from (tri, barycentrics) — the
     analogue of the Interaction fill in TriangleIntersect
@@ -132,12 +156,25 @@ def make_interaction(
     intersecting the hit triangle differentiably (the traversal's values are
     detached constants); forward values are bit-identical, but gradients
     w.r.t. ``mesh.positions`` and the ray become exact.
+
+    ``rows`` (from :func:`pack_interaction_rows`) collapses the per-ray
+    fetch into one row-gather.
     """
     tri = jnp.maximum(hit.tri, 0)
-    idx = mesh.indices[tri]  # [R, 3]
-    p = mesh.positions[idx]  # [R, 3, 3]
-    n = mesh.normals[idx]
-    uv = mesh.uvs[idx]
+    if rows is not None:
+        r = rows[tri]  # [R, 26] — single gather
+        p = r[:, 0:9].reshape(-1, 3, 3)
+        n = r[:, 9:18].reshape(-1, 3, 3)
+        uv = r[:, 18:24].reshape(-1, 3, 2)
+        mat_id = r[:, 24].astype(jnp.int32)
+        tex_id = r[:, 25].astype(jnp.int32)
+    else:
+        idx = mesh.indices[tri]  # [R, 3]
+        p = mesh.positions[idx]  # [R, 3, 3]
+        n = mesh.normals[idx]
+        uv = mesh.uvs[idx]
+        mat_id = mesh.material_id[tri]
+        tex_id = mesh.texture_id[tri]
     if ray_o is not None:
         ok, _, rb1, rb2 = intersect_triangle(
             p[:, 0], p[:, 1], p[:, 2], ray_o, ray_d,
@@ -165,7 +202,7 @@ def make_interaction(
     nrm = jnp.where(dot(nrm, ray_d)[..., None] > 0, -nrm, nrm)
     nrm = normalize(nrm)
     uv_hit = b0 * uv[:, 0] + b1 * uv[:, 1] + b2 * uv[:, 2]
-    return pos, nrm, uv_hit, mesh.material_id[tri], mesh.texture_id[tri]
+    return pos, nrm, uv_hit, mat_id, tex_id
 
 
 def sample_light_point(mesh: TriangleMesh, tri: jnp.ndarray, u1, u2):
@@ -284,6 +321,8 @@ def _render_rays(
             return _stop_gradient_trace(
                 any_hit, bvh, mesh, o_, d_, tm_, mask_, **trace_kw
             )
+
+    irows = pack_interaction_rows(mesh)
 
     # ---- primary hit (comp:983) -----------------------------------------
     hit = records.primary if replay else _closest(o, d, t_max0)
@@ -487,7 +526,8 @@ def _render_rays(
         )
 
         # hit: emissive pickup (comp:966)
-        pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(mesh, hit2, l_out, b_origin)
+        pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(
+            mesh, hit2, l_out, b_origin, rows=irows)
         hit_now = active & hit2.valid
         emissive2 = materials.emissive[mat_id2]
         if cfg.mis == "balanced" and has_lights:
@@ -568,7 +608,8 @@ def _render_rays(
         return carry, out_rec
 
     active = primary_hit
-    pos, nrm, uv, mat_id, tex_id = make_interaction(mesh, hit, d, o)
+    pos, nrm, uv, mat_id, tex_id = make_interaction(mesh, hit, d, o,
+                                                    rows=irows)
     carry = (
         seed, active, pos, nrm, uv, mat_id, tex_id, -d,
         jnp.ones((r, 3), jnp.float32), jnp.zeros((r, 3), jnp.float32),

@@ -110,6 +110,102 @@ def case_gather_rate():
     return chk
 
 
+def _time_gather(make_fn, iters, lanes, bytes_per_row, label):
+    f, args = make_fn()
+    float(f(*args))
+    t0 = time.perf_counter()
+    chk = float(f(*args))
+    dt = time.perf_counter() - t0
+    per_pass = dt / iters
+    gbs = lanes * bytes_per_row / per_pass / 1e9
+    log(f"{label}: {per_pass*1e6:.1f} us/pass ({per_pass/lanes*1e9:.2f} "
+        f"ns/row), {gbs:.2f} GB/s useful (dt={dt*1e3:.1f} ms)")
+    return chk
+
+
+def case_gather_forms():
+    """Which gather FORM is fast on this TPU?  All fetch 65536 rows/pass
+    for 64 passes, fetch-bounded; differ in table layout / mechanism."""
+    lanes, iters = 65536, 64
+    idx0 = jnp.arange(lanes, dtype=jnp.int32) % 40000
+
+    def loop(body, init_acc):
+        @jax.jit
+        def f(table, idx):
+            def b(i, st):
+                idx, acc = st
+                acc = body(table, idx, acc)
+                idx = (idx * 7 + 13) % table.shape[0 if table.ndim == 1 else 0]
+                return idx, acc
+
+            _, acc = jax.lax.fori_loop(0, iters, b, (idx0, init_acc))
+            return acc.sum()
+
+        return f
+
+    acc0 = jnp.zeros((lanes,), jnp.float32)
+
+    # 1) [N, 8] row gather (the traversal's nodes8 form)
+    t8 = jnp.arange(40000 * 8, dtype=jnp.float32).reshape(40000, 8)
+    _time_gather(
+        lambda: (loop(lambda t, i, a: a + t[i].sum(axis=1), acc0), (t8, idx0)),
+        iters, lanes, 32, "rows8",
+    )
+    # 2) [N, 128] row gather (lane-aligned rows)
+    t128 = jnp.ones((40000, 128), jnp.float32)
+    _time_gather(
+        lambda: (loop(lambda t, i, a: a + t[i].sum(axis=1), acc0),
+                 (t128, idx0)),
+        iters, lanes, 512, "rows128",
+    )
+    # 3) 1-D element gather (the env bisection's form)
+    t1 = jnp.arange(40000, dtype=jnp.float32)
+    _time_gather(
+        lambda: (loop(lambda t, i, a: a + t[i], acc0), (t1, idx0)),
+        iters, lanes, 4, "elem1d",
+    )
+    # 4) one-hot bf16 matmul "gather" from a SMALL table (materials form)
+    tm = jnp.ones((8, 128), jnp.bfloat16)
+
+    @jax.jit
+    def f_onehot_small(table, idx):
+        def b(i, st):
+            idx, acc = st
+            oh = jax.nn.one_hot(idx % 8, 8, dtype=jnp.bfloat16)
+            rows = jnp.dot(oh, table, preferred_element_type=jnp.float32)
+            acc = acc + rows.sum(axis=1)
+            return (idx * 7 + 13) % 40000, acc
+
+        _, acc = jax.lax.fori_loop(0, iters, b, (idx0, jnp.zeros((lanes,), jnp.float32)))
+        return acc.sum()
+
+    float(f_onehot_small(tm, idx0))
+    t0 = time.perf_counter()
+    chk = float(f_onehot_small(tm, idx0))
+    dt = time.perf_counter() - t0
+    log(f"onehot8x128: {dt/iters*1e6:.1f} us/pass (dt={dt*1e3:.1f} ms)")
+    # 5) take_along_axis on a transposed [8, N] table
+    tT = jnp.arange(8 * 40000, dtype=jnp.float32).reshape(8, 40000)
+
+    @jax.jit
+    def f_transposed(table, idx):
+        def b(i, st):
+            idx, acc = st
+            rows = jnp.take(table, idx, axis=1)  # [8, L]
+            acc = acc + rows.sum(axis=0)
+            return (idx * 7 + 13) % 40000, acc
+
+        _, acc = jax.lax.fori_loop(0, iters, b, (idx0, jnp.zeros((lanes,), jnp.float32)))
+        return acc.sum()
+
+    float(f_transposed(tT, idx0))
+    t0 = time.perf_counter()
+    chk2 = float(f_transposed(tT, idx0))
+    dt = time.perf_counter() - t0
+    log(f"transposed8xN: {dt/iters*1e6:.1f} us/pass (dt={dt*1e3:.1f} ms)")
+    return chk + chk2
+
+
 def case_gather():
     """Synthetic stand-in for traversal: a while loop of dynamic row
     gathers over a node-table-sized array, 16k lanes."""
@@ -190,6 +286,7 @@ def main():
         "flops": case_flops,
         "membw": case_membw,
         "gather_rate": case_gather_rate,
+        "gather_forms": case_gather_forms,
         "gather": case_gather,
         "trav": case_trav,
         "trav_notile": lambda: case_trav(tile_size=None),
