@@ -99,39 +99,69 @@ def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
     TPU analogue of the reference's pre-inverted texture): per-ray
     sampling then costs 2 row gathers instead of ~20 bisection gathers.
     Leave False for in-graph rebuilds (env optimization), where the
-    tables cannot be constructed from traced values."""
-    image = jnp.asarray(image, jnp.float32)
-    lum = hdr_luminance(image)  # [H, W]
-    pdf_xy = lum.T  # [W, H] — reference's pdf[x][y] layout
-    total = jnp.maximum(jnp.sum(pdf_xy), 1e-20)
-    pdf_xy = pdf_xy / total
-    pdf_marginal_x = jnp.sum(pdf_xy, axis=1)  # [W]
-    cdf_marginal_x = jnp.cumsum(pdf_marginal_x)
-    cond = pdf_xy / jnp.maximum(pdf_marginal_x[:, None], 1e-20)
-    cdf_y_given_x = jnp.cumsum(cond, axis=1)
+    tables cannot be constructed from traced values.
+
+    When the image is a concrete (non-traced) array the whole bake runs
+    in numpy on the host — like the reference's CPU-side LoadHDRImage —
+    because on a tunneled device every eager op is a network round trip."""
+    import numpy as np
+
+    host = not isinstance(image, jax.core.Tracer)
+    if host:
+        img_np = np.asarray(image, np.float32)
+        # same weights as core.math.hdr_luminance (shader.hpp:153)
+        lum = (
+            0.2 * img_np[..., 0]
+            + 0.7 * img_np[..., 1]
+            + 0.1 * img_np[..., 2]
+        )
+        pdf_xy = lum.T.copy()
+        pdf_xy /= max(pdf_xy.sum(), 1e-20)
+        pdf_marginal_x = pdf_xy.sum(axis=1)
+        cdf_marginal_x = np.cumsum(pdf_marginal_x)
+        cond = pdf_xy / np.maximum(pdf_marginal_x[:, None], 1e-20)
+        cdf_y_given_x = np.cumsum(cond, axis=1)
+        to_dev = jnp.asarray
+    else:
+        image = jnp.asarray(image, jnp.float32)
+        lum = hdr_luminance(image)  # [H, W]
+        pdf_xy = lum.T  # [W, H] — reference's pdf[x][y] layout
+        total = jnp.maximum(jnp.sum(pdf_xy), 1e-20)
+        pdf_xy = pdf_xy / total
+        pdf_marginal_x = jnp.sum(pdf_xy, axis=1)  # [W]
+        cdf_marginal_x = jnp.cumsum(pdf_marginal_x)
+        cond = pdf_xy / jnp.maximum(pdf_marginal_x[:, None], 1e-20)
+        cdf_y_given_x = jnp.cumsum(cond, axis=1)
+        to_dev = lambda a: a  # already traced values
+
     alias_x = alias_y = None
     if alias:
-        import numpy as np
-
+        if not host:
+            raise ValueError(
+                "alias tables cannot be built from traced values; call "
+                "with alias=False inside jit/grad"
+            )
         w, h = int(pdf_xy.shape[0]), int(pdf_xy.shape[1])
-        px = np.asarray(pdf_marginal_x)
-        prob_x, al_x = _alias_table(px)
+        prob_x, al_x = _alias_table(pdf_marginal_x)
         alias_x = jnp.asarray(
             np.stack([prob_x, al_x.astype(np.float32)], axis=1)
         )
-        cond_np = np.asarray(pdf_xy)
         prob_y = np.zeros((w, h), np.float32)
         al_y = np.zeros((w, h), np.float32)
         for xcol in range(w):
-            pcol, acol = _alias_table(cond_np[xcol])
+            pcol, acol = _alias_table(pdf_xy[xcol])
             prob_y[xcol] = pcol
             al_y[xcol] = acol.astype(np.float32)
         alias_y = jnp.asarray(np.stack([prob_y, al_y], axis=-1))
     return EnvMap(
-        image=image,
-        pdf_xy=pdf_xy,
-        cdf_marginal_x=cdf_marginal_x,
-        cdf_y_given_x=cdf_y_given_x,
+        image=jnp.asarray(image, jnp.float32) if host else image,
+        pdf_xy=to_dev(pdf_xy.astype(np.float32) if host else pdf_xy),
+        cdf_marginal_x=to_dev(
+            cdf_marginal_x.astype(np.float32) if host else cdf_marginal_x
+        ),
+        cdf_y_given_x=to_dev(
+            cdf_y_given_x.astype(np.float32) if host else cdf_y_given_x
+        ),
         alias_x=alias_x,
         alias_y=alias_y,
     )

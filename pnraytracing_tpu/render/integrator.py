@@ -205,13 +205,20 @@ def make_interaction(
     return pos, nrm, uv_hit, mat_id, tex_id
 
 
-def sample_light_point(mesh: TriangleMesh, tri: jnp.ndarray, u1, u2):
+def sample_light_point(mesh: TriangleMesh, tri: jnp.ndarray, u1, u2,
+                       rows: jnp.ndarray | None = None):
     """Uniform point + normal on light triangles (TriangleSample,
-    comp:604-624)."""
+    comp:604-624).  ``rows`` (pack_interaction_rows) turns the corner
+    fetch into one row-gather."""
     b0, b1 = sample_uniform_triangle(u1, u2)
-    idx = mesh.indices[tri]
-    p = mesh.positions[idx]
-    n = mesh.normals[idx]
+    if rows is not None:
+        r = rows[tri]  # [R, 26]
+        p = r[:, 0:9].reshape(-1, 3, 3)
+        n = r[:, 9:18].reshape(-1, 3, 3)
+    else:
+        idx = mesh.indices[tri]
+        p = mesh.positions[idx]
+        n = mesh.normals[idx]
     b2 = 1.0 - b0 - b1
     pos = b0[..., None] * p[:, 0] + b1[..., None] * p[:, 1] + b2[..., None] * p[:, 2]
     geom_n = normalize(cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]))
@@ -225,6 +232,16 @@ def sample_light_point(mesh: TriangleMesh, tri: jnp.ndarray, u1, u2):
     )
     nrm = normalize(jnp.where(any_zero[..., None], geom_n, n_interp))
     return pos, nrm
+
+
+def _emissive_of(materials, mat_id: jnp.ndarray) -> jnp.ndarray:
+    """[R, 3] emissive for per-ray material ids — one-hot MXU select for
+    small palettes (0 gathers), row gather otherwise."""
+    m = materials.emissive.shape[0]
+    if m <= 32:
+        oh = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)
+        return oh @ materials.emissive
+    return materials.emissive[mat_id]
 
 
 def _safe_inv(x: jnp.ndarray) -> jnp.ndarray:
@@ -367,7 +384,8 @@ def _render_rays(
             light_tri = lights.tri_index[slot]
             seed, u1 = rand01(seed)
             seed, u2 = rand01(seed)
-            lp, ln = sample_light_point(mesh, light_tri, u1, u2)
+            lp, ln = sample_light_point(mesh, light_tri, u1, u2,
+                                        rows=irows)
             sdir = lp - pos  # unnormalized segment (comp:887)
             s_origin = pos + nrm * 1e-4
             s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
@@ -423,7 +441,9 @@ def _render_rays(
             cos_l = jnp.abs(dot(ln, -lnorm))
             raw_pdf = dis2 / jnp.maximum(cos_l * lights.total_area, 1e-12)
             light_pdf = jnp.where(active & ~occluded, raw_pdf, 0.0)
-            li = materials.emissive[mesh.material_id[light_tri]]
+            li = _emissive_of(
+                materials, irows[light_tri, 24].astype(jnp.int32)
+            )
             light_f = disney_eval(v_dir, nrm, lnorm, t_tan, b_tan, mat)
             nl = jnp.abs(dot(nrm, lnorm))
             l_direct = jnp.where(
@@ -529,7 +549,7 @@ def _render_rays(
         pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(
             mesh, hit2, l_out, b_origin, rows=irows)
         hit_now = active & hit2.valid
-        emissive2 = materials.emissive[mat_id2]
+        emissive2 = _emissive_of(materials, mat_id2)
         if cfg.mis == "balanced" and has_lights:
             # solid-angle pdf of the area-light NEE strategy at this hit
             cos_h = jnp.abs(dot(nrm2, l_out))
@@ -658,9 +678,9 @@ def _render_rays(
 
     # ---- compose (comp:983-988): primary emissive + path radiance on hit,
     # environment on miss
-    primary_emissive = materials.emissive[
-        mesh.material_id[jnp.maximum(hit.tri, 0)]
-    ]
+    primary_emissive = _emissive_of(
+        materials, irows[jnp.maximum(hit.tri, 0), 24].astype(jnp.int32)
+    )
     color = jnp.where(primary_hit[..., None], primary_emissive + lo, miss_color)
     if cfg.clamp_radiance:
         color = jnp.clip(color, 0.0, 1.0)
