@@ -278,6 +278,35 @@ def _render(env):
     return float(img.sum())
 
 
+
+def case_packet_trav(res=128, tile=4096):
+    """Isolated packet-traversal query: one closest-hit pass, timed on the
+    second (cached) call.  Prints iteration-rate forensics."""
+    from pnraytracing_tpu.accel.traverse_packet import closest_hit_packet
+    from pnraytracing_tpu.core.camera import camera_rays
+    from pnraytracing_tpu.core.math import FLOAT_MAX
+
+    scene, cam = _scene(env=True)
+    o, d, _ = camera_rays(cam, res, res)
+    tm = jnp.full((o.shape[0],), FLOAT_MAX, jnp.float32)
+
+    @jax.jit
+    def q(trav, o, d, tm):
+        h = closest_hit_packet(trav, o, d, tm, None, tile_size=tile)
+        return h.t.sum() + h.tri.sum()
+
+    t0 = time.perf_counter()
+    chk = float(q(scene.trav, o, d, tm))
+    log(f"packet_trav{res}: first call (compile+run) {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    chk = float(q(scene.trav, o, d, tm))
+    dt = time.perf_counter() - t0
+    rays = o.shape[0]
+    log(f"packet_trav{res}: {dt*1e3:.1f} ms/query, {rays/dt:.3g} rays/s "
+        f"(tile={tile})")
+    return chk
+
+
 def main():
     case = sys.argv[1]
     t0 = time.perf_counter()
@@ -307,31 +336,3 @@ def main():
 
 if __name__ == "__main__":
     main()
-
-
-def case_packet_trav(res=128, tile=4096):
-    """Isolated packet-traversal query: one closest-hit pass, timed on the
-    second (cached) call.  Prints iteration-rate forensics."""
-    from pnraytracing_tpu.accel.traverse_packet import closest_hit_packet
-    from pnraytracing_tpu.core.camera import camera_rays
-    from pnraytracing_tpu.core.math import FLOAT_MAX
-
-    scene, cam = _scene(env=True)
-    o, d, _ = camera_rays(cam, res, res)
-    tm = jnp.full((o.shape[0],), FLOAT_MAX, jnp.float32)
-
-    @jax.jit
-    def q(trav, o, d, tm):
-        h = closest_hit_packet(trav, o, d, tm, None, tile_size=tile)
-        return h.t.sum() + h.tri.sum()
-
-    t0 = time.perf_counter()
-    chk = float(q(scene.trav, o, d, tm))
-    log(f"packet_trav{res}: first call (compile+run) {time.perf_counter()-t0:.1f}s")
-    t0 = time.perf_counter()
-    chk = float(q(scene.trav, o, d, tm))
-    dt = time.perf_counter() - t0
-    rays = o.shape[0]
-    log(f"packet_trav{res}: {dt*1e3:.1f} ms/query, {rays/dt:.3g} rays/s "
-        f"(tile={tile})")
-    return chk
