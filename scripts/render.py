@@ -174,10 +174,23 @@ def main() -> int:
 
     import numpy as np
 
+    from pnraytracing_tpu.utils.resilience import run_resilient
+
     acc = None
     t0 = time.perf_counter()
     for f in range(args.spp):
-        img = np.asarray(frame_fn(f))
+        # survive tunnel worker crashes: host-side accumulation + per-frame
+        # retry with scene re-upload (utils/resilience.py)
+        def one(frame=f, scene_dev=None):
+            nonlocal scene
+            if scene_dev is not None:
+                scene = scene_dev
+            return np.asarray(frame_fn(frame))
+
+        img = run_resilient(
+            one, reupload={"scene_dev": scene},
+            log=lambda m: print(f"[resilience] {m}", flush=True),
+        )
         acc = img if acc is None else acc + img
         if f == 0:
             print(f"first frame (incl. compile): "
