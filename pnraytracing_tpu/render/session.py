@@ -88,7 +88,10 @@ class RenderSession:
         frame = int(self.accum.count)
         t0 = time.perf_counter()
         img = render_frame(self.scene, self.camera.basis(), cfg, frame)
-        img.block_until_ready()
+        # fetch one scalar rather than block_until_ready: on the tunneled
+        # TPU the latter can return before execution (BASELINE.md round-2
+        # integrity notes), which silently inflates the stats
+        float(img[0, 0, 0])
         dt = time.perf_counter() - t0
         self.stats.frames += 1
         self.stats.last_frame_ms = dt * 1e3
