@@ -67,6 +67,9 @@ def main() -> int:
                     "batch); default = RenderConfig default")
     ap.add_argument("--traversal", default=None,
                     choices=["packed", "pop", "wide", "packet"])
+    ap.add_argument("--trav-chunk", type=int, default=None,
+                    help="traversal loop chunk (condition checked every N "
+                    "iterations; 1 = plain while_loop)")
     ap.add_argument("--no-compact", action="store_true")
     ap.add_argument("--no-fuse", action="store_true",
                     help="disable fused NEE shadow rays")
@@ -107,6 +110,8 @@ def main() -> int:
         overrides["trav_tile"] = args.trav_tile if args.trav_tile > 0 else None
     if args.traversal is not None:
         overrides["traversal"] = args.traversal
+    if args.trav_chunk is not None:
+        overrides["trav_chunk"] = args.trav_chunk
     if args.no_compact:
         overrides["compact_rays"] = False
     if args.no_fuse:

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from pnraytracing_tpu.core.types import BVH, TriangleMesh
+from pnraytracing_tpu.accel.loops import chunked_while
 from pnraytracing_tpu.ops.intersect import (
     Hit,
     intersect_aabb,
@@ -100,7 +101,7 @@ def _leaf_triangles(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat")
+    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat", "chunk")
 )
 def closest_hit(
     bvh: BVH,
@@ -113,6 +114,7 @@ def closest_hit(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> Hit:
     """Closest-hit traversal over a ray batch (BVHIntersect,
     ray_tracing.comp:429-461).  o, d: [R, 3]; t_max: [R].
@@ -168,13 +170,13 @@ def closest_hit(
         stack2, top2 = _push(stack2, top2, near, near_ok, arange, stack_depth)
         return stack2, top2, Hit(tri=tri_best, t=t_best, b1=b1_best, b2=b2_best)
 
-    _, _, best = jax.lax.while_loop(cond, body, (stack, top, hit0))
+    _, _, best = chunked_while(cond, body, (stack, top, hit0), chunk)
     # Report miss t as the original t_max (reference leaves ray.tMax there).
     return best
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat")
+    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat", "chunk")
 )
 def traversal_stats(
     bvh: BVH,
@@ -186,6 +188,7 @@ def traversal_stats(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ):
     """Instrumented closest-hit: returns (per-ray node visits [R],
     lockstep iterations []).  The gap between mean visits and lockstep
@@ -235,7 +238,7 @@ def traversal_stats(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat")
+    jax.jit, static_argnames=("stack_depth", "max_leaf_size", "compat", "chunk")
 )
 def any_hit(
     bvh: BVH,
@@ -248,6 +251,7 @@ def any_hit(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     """Occlusion traversal with per-ray early exit (BVHIntersectP,
     ray_tracing.comp:464-494): a ray's stack is cleared the moment any
@@ -295,5 +299,5 @@ def any_hit(
         top2 = jnp.where(new_occ, 0, top2)  # early exit
         return stack2, top2, new_occ
 
-    _, _, occluded = jax.lax.while_loop(cond, body, (stack, top, occluded0))
+    _, _, occluded = chunked_while(cond, body, (stack, top, occluded0), chunk)
     return occluded

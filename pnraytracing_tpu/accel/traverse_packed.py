@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from pnraytracing_tpu.accel.layout import TravData, unpack_node_rows
+from pnraytracing_tpu.accel.loops import chunked_while
 from pnraytracing_tpu.ops.intersect import (
     Hit,
     intersect_aabb,
@@ -68,6 +69,7 @@ def _closest_hit_flat(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> Hit:
     r = o.shape[0]
     arange = jnp.arange(r, dtype=jnp.int32)
@@ -121,7 +123,7 @@ def _closest_hit_flat(
         stack2, top2 = _push(stack2, top2, near, near_ok, arange, stack_depth)
         return stack2, top2, Hit(tri=tri_best, t=t_best, b1=b1_best, b2=b2_best)
 
-    _, _, best = jax.lax.while_loop(cond, body, (stack, top, hit0))
+    _, _, best = chunked_while(cond, body, (stack, top, hit0), chunk)
     return best
 
 
@@ -135,6 +137,7 @@ def _any_hit_flat(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     r = o.shape[0]
     arange = jnp.arange(r, dtype=jnp.int32)
@@ -180,7 +183,7 @@ def _any_hit_flat(
         top2 = jnp.where(new_occ, 0, top2)
         return stack2, top2, new_occ
 
-    _, _, occ = jax.lax.while_loop(cond, body, (stack, top, occ0))
+    _, _, occ = chunked_while(cond, body, (stack, top, occ0), chunk)
     return occ
 
 
@@ -194,6 +197,7 @@ def _closest_hit_flat_pop(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> Hit:
     """Pop-test variant: each node's AABB is tested when it is POPPED, and
     children of passing internal nodes are pushed untested.  Versus the
@@ -248,7 +252,7 @@ def _closest_hit_flat_pop(
         stack2, top2 = _push(stack2, top2, near, internal, arange, stack_depth)
         return stack2, top2, Hit(tri=tri_best, t=t_best, b1=b1_best, b2=b2_best)
 
-    _, _, best = jax.lax.while_loop(cond, body, (stack, top, hit0))
+    _, _, best = chunked_while(cond, body, (stack, top, hit0), chunk)
     return best
 
 
@@ -262,6 +266,7 @@ def _any_hit_flat_pop(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     r = o.shape[0]
     arange = jnp.arange(r, dtype=jnp.int32)
@@ -299,7 +304,7 @@ def _any_hit_flat_pop(
         top2 = jnp.where(new_occ, 0, top2)
         return stack2, top2, new_occ
 
-    _, _, occ = jax.lax.while_loop(cond, body, (stack, top, occ0))
+    _, _, occ = chunked_while(cond, body, (stack, top, occ0), chunk)
     return occ
 
 
@@ -317,10 +322,11 @@ def _tiled(flat_fn, zero_like):
     def tiled(
         trav, o, d, t_max, mask=None, *,
         stack_depth=64, max_leaf_size=4, compat=False, tile_size=None,
+        chunk=16,
     ):
         r = o.shape[0]
         kw = dict(stack_depth=stack_depth, max_leaf_size=max_leaf_size,
-                  compat=compat)
+                  compat=compat, chunk=chunk)
         if tile_size is None or r <= tile_size:
             return flat_fn(trav, o, d, t_max, mask, **kw)
         pad = (-r) % tile_size
@@ -359,17 +365,17 @@ def _tiled(flat_fn, zero_like):
 
 closest_hit_packed = jax.jit(
     _tiled(_closest_hit_flat, None),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )
 any_hit_packed = jax.jit(
     _tiled(_any_hit_flat, None),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )
 closest_hit_pop = jax.jit(
     _tiled(_closest_hit_flat_pop, None),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )
 any_hit_pop = jax.jit(
     _tiled(_any_hit_flat_pop, None),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )

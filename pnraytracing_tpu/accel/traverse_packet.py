@@ -84,6 +84,7 @@ def _closest_hit_packet_tile(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> Hit:
     r = o.shape[0]
     inv_d = safe_inv_dir(d)
@@ -107,10 +108,11 @@ def _closest_hit_packet_tile(
 
     def body(state):
         stack, top, best = state
-        node = stack[top - 1]
-        top = top - 1
+        live = top > 0  # chunked outer loop may overshoot: body must no-op
+        node = stack[jnp.maximum(top - 1, 0)]
+        top = jnp.where(live, top - 1, top)
         nmin, nmax, right, start, count, axis = _fetch_node(trav.nodes8, node)
-        hits = active0 & intersect_aabb(
+        hits = live & active0 & intersect_aabb(
             nmin[None, :], nmax[None, :], o, inv_d, best.t, compat=compat
         )
         alive = jnp.any(hits)
@@ -151,7 +153,9 @@ def _closest_hit_packet_tile(
         top2 = top1 + inc
         return stack, top2, Hit(tri=tri_best, t=t_best, b1=b1_best, b2=b2_best)
 
-    _, _, best = jax.lax.while_loop(cond, body, (stack, top, hit0))
+    from pnraytracing_tpu.accel.loops import chunked_while
+
+    _, _, best = chunked_while(cond, body, (stack, top, hit0), chunk)
     return best
 
 
@@ -165,6 +169,7 @@ def _any_hit_packet_tile(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     r = o.shape[0]
     inv_d = safe_inv_dir(d)
@@ -183,10 +188,11 @@ def _any_hit_packet_tile(
 
     def body(state):
         stack, top, occ = state
-        node = stack[top - 1]
-        top = top - 1
+        live = top > 0
+        node = stack[jnp.maximum(top - 1, 0)]
+        top = jnp.where(live, top - 1, top)
         nmin, nmax, right, start, count, axis = _fetch_node(trav.nodes8, node)
-        pending = active0 & ~occ
+        pending = live & active0 & ~occ
         hits = pending & intersect_aabb(
             nmin[None, :], nmax[None, :], o, inv_d, t_max, compat=compat
         )
@@ -224,7 +230,9 @@ def _any_hit_packet_tile(
         top2 = jnp.where(done, 0, top2)
         return stack, top2, new_occ
 
-    _, _, occ = jax.lax.while_loop(cond, body, (stack, top, occ0))
+    from pnraytracing_tpu.accel.loops import chunked_while
+
+    _, _, occ = chunked_while(cond, body, (stack, top, occ0), chunk)
     return occ
 
 
@@ -236,9 +244,9 @@ def _make_tiled(flat_fn):
 
 closest_hit_packet = jax.jit(
     _make_tiled(_closest_hit_packet_tile),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )
 any_hit_packet = jax.jit(
     _make_tiled(_any_hit_packet_tile),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )

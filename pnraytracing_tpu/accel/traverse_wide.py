@@ -26,6 +26,7 @@ from pnraytracing_tpu.accel.layout import (
     unpack_wide_rows,
 )
 from pnraytracing_tpu.accel.traverse_packed import _pop, _push, _tiled
+from pnraytracing_tpu.accel.loops import chunked_while
 from pnraytracing_tpu.ops.intersect import (
     Hit,
     intersect_aabb,
@@ -88,6 +89,7 @@ def _closest_hit_wide(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> Hit:
     r = o.shape[0]
     arange = jnp.arange(r, dtype=jnp.int32)
@@ -127,7 +129,7 @@ def _closest_hit_wide(
         stack2, top2 = _push(stack2, top2, near_id, near_push, arange, stack_depth)
         return stack2, top2, best
 
-    _, _, best = jax.lax.while_loop(cond, body, (stack, top, hit0))
+    _, _, best = chunked_while(cond, body, (stack, top, hit0), chunk)
     return best
 
 
@@ -141,6 +143,7 @@ def _any_hit_wide(
     stack_depth: int = 64,
     max_leaf_size: int = 4,
     compat: bool = False,
+    chunk: int = 16,
 ) -> jnp.ndarray:
     r = o.shape[0]
     arange = jnp.arange(r, dtype=jnp.int32)
@@ -169,15 +172,15 @@ def _any_hit_wide(
         top2 = jnp.where(new_occ, 0, top2)
         return stack2, top2, new_occ
 
-    _, _, occ = jax.lax.while_loop(cond, body, (stack, top, occ0))
+    _, _, occ = chunked_while(cond, body, (stack, top, occ0), chunk)
     return occ
 
 
 closest_hit_wide = jax.jit(
     _tiled(_closest_hit_wide, None),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )
 any_hit_wide = jax.jit(
     _tiled(_any_hit_wide, None),
-    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size"),
+    static_argnames=("stack_depth", "max_leaf_size", "compat", "tile_size", "chunk"),
 )

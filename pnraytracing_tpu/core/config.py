@@ -33,6 +33,14 @@ class RenderConfig:
     # None disables tiling.
     trav_tile: int | None = 4096
 
+    # Evaluate the traversal while-loop's condition only every N body
+    # iterations (accel/loops.py::chunked_while): on the tunneled TPU a
+    # dynamic loop condition costs ~0.6 ms PER ITERATION (crash_sweep
+    # loop_overhead probe), dominating every fine-grained loop.  Bodies
+    # are masked no-ops once drained, so overshoot only wastes lanes.
+    # 1 = plain while_loop.
+    trav_chunk: int = 16
+
     # Traversal backend over the packed layout: 'packed' is the per-node
     # [.,8] row-gather loop (accel/traverse_packed.py); 'wide' pops internal
     # nodes only and issues one [.,16] node gather + one batched [., 2L]

@@ -288,6 +288,7 @@ def _render_rays(
         stack_depth=cfg.stack_depth,
         max_leaf_size=cfg.max_leaf_size,
         compat=compat,
+        chunk=cfg.trav_chunk,
     )
     mesh, materials, bvh, lights = (
         scene.mesh,

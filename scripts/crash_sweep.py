@@ -307,6 +307,58 @@ def case_packet_trav(res=128, tile=4096):
     return chk
 
 
+
+def case_loop_overhead():
+    """while_loop vs fori_loop iteration overhead: same trivial vector
+    body, 512 iterations.  The difference is the per-iteration cost of
+    the dynamic condition on this platform."""
+    x0 = jnp.ones((4096,), jnp.float32)
+
+    @jax.jit
+    def f_while(x):
+        def cond(st):
+            return st[0] < 512
+
+        def body(st):
+            i, x = st
+            return i + 1, x * 1.0000001 + 1e-7
+
+        _, x = jax.lax.while_loop(cond, body, (jnp.int32(0), x))
+        return x.sum()
+
+    @jax.jit
+    def f_fori(x):
+        def body(i, x):
+            return x * 1.0000001 + 1e-7
+
+        return jax.lax.fori_loop(0, 512, body, x).sum()
+
+    @jax.jit
+    def f_chunked(x):
+        def cond(st):
+            return st[0] < 512
+
+        def outer(st):
+            def inner(j, st2):
+                i, x = st2
+                return i + 1, x * 1.0000001 + 1e-7
+
+            return jax.lax.fori_loop(0, 32, inner, st)
+
+        _, x = jax.lax.while_loop(cond, outer, (jnp.int32(0), x))
+        return x.sum()
+
+    for name, f in (("while", f_while), ("fori", f_fori),
+                    ("chunked32", f_chunked)):
+        float(f(x0))
+        t0 = time.perf_counter()
+        chk = float(f(x0))
+        dt = time.perf_counter() - t0
+        log(f"loop_overhead {name}: {dt/512*1e6:.1f} us/iter "
+            f"(dt={dt*1e3:.1f} ms)")
+    return chk
+
+
 def main():
     case = sys.argv[1]
     t0 = time.perf_counter()
@@ -317,6 +369,7 @@ def main():
         "gather_rate": case_gather_rate,
         "gather_forms": case_gather_forms,
         "packet_trav": case_packet_trav,
+        "loop_overhead": case_loop_overhead,
         "packet_trav512": lambda: case_packet_trav(res=512),
         "packet_trav512_t16": lambda: case_packet_trav(res=512, tile=16384),
         "gather": case_gather,
