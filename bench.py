@@ -66,7 +66,7 @@ def main() -> int:
                     help="traversal tile size; 0 = untiled (one lockstep "
                     "batch); default = RenderConfig default")
     ap.add_argument("--traversal", default=None,
-                    choices=["packed", "pop", "wide", "packet"])
+                    choices=["packed", "pop", "wide", "packet", "wide4"])
     ap.add_argument("--trav-chunk", type=int, default=None,
                     help="traversal loop chunk (condition checked every N "
                     "iterations; 1 = plain while_loop)")

@@ -41,6 +41,18 @@ MAX_PACKED_TRIS = 1 << 20  # start*16+count must stay < 2^24 (exact f32)
 
 
 @struct.dataclass
+class Wide4Data:
+    """4-wide collect-then-test layout (accel/wide4.py): one [N4, 32] row
+    per internal node (4 child boxes + links), one [NL, 40] row per leaf
+    (4 pre-gathered triangles + ids).  Host-built; depth4 is the 4-wide
+    tree depth (static, sizes the traversal stack)."""
+
+    nodes32: jnp.ndarray  # [N4, 32] f32
+    leaf40: jnp.ndarray  # [NL, 40] f32
+    depth4: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
 class TravData:
     nodes8: jnp.ndarray  # [N, 8] f32
     tri9: jnp.ndarray  # [T, 9] f32
@@ -49,6 +61,9 @@ class TravData:
     # ONE node gather per iteration and iterates over internal nodes only
     # (see accel/traverse_wide.py).  None when not packed.
     nodes16: jnp.ndarray | None = None
+    # 4-wide collect-then-test layout (host-built; None in-graph refits
+    # rebuild it via pack_wide4 on the host path)
+    w4: Wide4Data | None = None
 
 
 def _enc_i2f(x: jnp.ndarray) -> jnp.ndarray:

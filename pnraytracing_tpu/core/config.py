@@ -41,6 +41,11 @@ class RenderConfig:
     # 1 = plain while_loop.
     trav_chunk: int = 16
 
+    # Per-ray leaf-collection buffer of the 4-wide collect-then-test
+    # backend (traversal='wide4', accel/traverse_wide4.py); rays that
+    # visit more leaves fall back to the exact binary walk.
+    trav_leaf_buffer: int = 32
+
     # Traversal backend over the packed layout: 'packed' is the per-node
     # [.,8] row-gather loop (accel/traverse_packed.py); 'wide' pops internal
     # nodes only and issues one [.,16] node gather + one batched [., 2L]
@@ -118,7 +123,7 @@ class RenderConfig:
     def __post_init__(self):
         assert self.loop in ("unroll", "scan")
         assert self.sampler in ("sobol", "hash")
-        assert self.traversal in ("wide", "packed", "pop", "packet")
+        assert self.traversal in ("wide", "packed", "pop", "packet", "wide4")
         assert self.mis in ("reference", "balanced")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"

@@ -109,7 +109,13 @@ def refit_scene(scene: Scene, max_leaf_size: int = 4) -> Scene:
     if trav is not None:
         from pnraytracing_tpu.accel.layout import pack_traversal_data
 
+        had_w4 = trav.w4 is not None
         trav = pack_traversal_data(bvh, mesh)
+        if had_w4:
+            from pnraytracing_tpu.accel.wide4 import pack_wide4
+
+            tri9_np = positions[indices[order]].reshape(len(order), 9)
+            trav = trav.replace(w4=pack_wide4(built, tri9_np))
     return scene.replace(mesh=mesh, bvh=bvh, lights=lights, trav=trav)
 
 

@@ -317,18 +317,64 @@ def _render_rays(
             _closest_fn, _occluded_fn = closest_hit_pop, any_hit_pop
         elif cfg.traversal == "packet":
             _closest_fn, _occluded_fn = closest_hit_packet, any_hit_packet
+        elif cfg.traversal == "wide4" and scene.trav.w4 is not None:
+            _closest_fn = _occluded_fn = None
         else:
             _closest_fn, _occluded_fn = closest_hit_packed, any_hit_packed
 
-        def _closest(o_, d_, tm_, mask_=None):
-            return _stop_gradient_trace(
-                _closest_fn, scene.trav, o_, d_, tm_, mask_, **packed_kw
+        if cfg.traversal == "wide4" and scene.trav.w4 is not None:
+            from pnraytracing_tpu.accel.traverse_wide4 import (
+                any_hit_wide4,
+                closest_hit_wide4,
             )
 
-        def _occluded(o_, d_, tm_, mask_=None):
-            return _stop_gradient_trace(
-                _occluded_fn, scene.trav, o_, d_, tm_, mask_, **packed_kw
+            w4 = scene.trav.w4
+            w4_kw = dict(
+                stack_depth=max(16, 3 * w4.depth4 + 4),
+                max_leaf_size=cfg.max_leaf_size,
+                compat=compat,
+                leaf_buffer=cfg.trav_leaf_buffer,
+                chunk=cfg.trav_chunk,
             )
+
+            def _closest(o_, d_, tm_, mask_=None):
+                def fb(o2, d2, t2, m2):
+                    return closest_hit_pop(
+                        scene.trav, o2, d2, t2, m2, **packed_kw
+                    )
+
+                def run(w4_, o2, d2, t2, m2):
+                    hit, _ = closest_hit_wide4(
+                        w4_, o2, d2, t2, m2, fallback=fb, **w4_kw
+                    )
+                    return hit
+
+                return _stop_gradient_trace(run, w4, o_, d_, tm_, mask_)
+
+            def _occluded(o_, d_, tm_, mask_=None):
+                def fb(o2, d2, t2, m2):
+                    return any_hit_pop(
+                        scene.trav, o2, d2, t2, m2, **packed_kw
+                    )
+
+                def run(w4_, o2, d2, t2, m2):
+                    occ, _ = any_hit_wide4(
+                        w4_, o2, d2, t2, m2, fallback=fb, **w4_kw
+                    )
+                    return occ
+
+                return _stop_gradient_trace(run, w4, o_, d_, tm_, mask_)
+
+        else:
+            def _closest(o_, d_, tm_, mask_=None):
+                return _stop_gradient_trace(
+                    _closest_fn, scene.trav, o_, d_, tm_, mask_, **packed_kw
+                )
+
+            def _occluded(o_, d_, tm_, mask_=None):
+                return _stop_gradient_trace(
+                    _occluded_fn, scene.trav, o_, d_, tm_, mask_, **packed_kw
+                )
     else:
         def _closest(o_, d_, tm_, mask_=None):
             return _stop_gradient_trace(

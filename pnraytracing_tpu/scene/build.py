@@ -223,6 +223,11 @@ class SceneBuilder:
             and len(indices) <= MAX_PACKED_TRIS
         ):
             trav = pack_traversal_data(bvh, mesh)
+            if max_count <= 4:
+                from pnraytracing_tpu.accel.wide4 import pack_wide4
+
+                tri9_np = positions[indices[order]].reshape(len(order), 9)
+                trav = trav.replace(w4=pack_wide4(built, tri9_np))
 
         return Scene(
             mesh=mesh,
