@@ -238,6 +238,11 @@ class EnvMap:
     # [W, H, 2].  Alias ids are stored as exact small-int floats.
     alias_x: jnp.ndarray | None = None  # [W, 2] f32
     alias_y: jnp.ndarray | None = None  # [W, H, 2] f32
+    # Pre-packed 2x2 bilinear quads: quad12[y, x] = texels (y,x),(y,x+1),
+    # (y+1,x),(y+1,x+1) flattened — ONE row gather per bilinear fetch
+    # instead of four.  Built from `image` by rolls/concats, so it is
+    # differentiable and cheap to rebuild in-graph during optimization.
+    quad12: jnp.ndarray | None = None  # [H, W, 12] f32
 
     @property
     def height(self) -> int:

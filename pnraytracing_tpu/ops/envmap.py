@@ -153,8 +153,10 @@ def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
             prob_y[xcol] = pcol
             al_y[xcol] = acol.astype(np.float32)
         alias_y = jnp.asarray(np.stack([prob_y, al_y], axis=-1))
+    img_j = jnp.asarray(image, jnp.float32) if host else image
     return EnvMap(
-        image=jnp.asarray(image, jnp.float32) if host else image,
+        image=img_j,
+        quad12=_pack_quads(img_j),
         pdf_xy=to_dev(pdf_xy.astype(np.float32) if host else pdf_xy),
         cdf_marginal_x=to_dev(
             cdf_marginal_x.astype(np.float32) if host else cdf_marginal_x
@@ -165,6 +167,15 @@ def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
         alias_x=alias_x,
         alias_y=alias_y,
     )
+
+
+def _pack_quads(image: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, 3] -> [H, W, 12] of 2x2 bilinear quads (u wraps, v clamps
+    — shader.hpp:140-143 semantics, with the seam wrap)."""
+    xp = jnp.roll(image, -1, axis=1)  # (y, x+1) with azimuth wrap
+    dn = jnp.concatenate([image[1:], image[-1:]], axis=0)  # (y+1, x) clamped
+    dnxp = jnp.roll(dn, -1, axis=1)
+    return jnp.concatenate([image, xp, dn, dnxp], axis=-1)
 
 
 def _grid_direction(u: jnp.ndarray, v: jnp.ndarray):
@@ -262,7 +273,28 @@ def bilinear_lookup(image: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.n
     return top * (1 - ty) + bot * ty
 
 
+def bilinear_lookup_quads(quad12: jnp.ndarray, u, v) -> jnp.ndarray:
+    """Bilinear fetch via the pre-packed quad rows — ONE gather."""
+    h, w = quad12.shape[0], quad12.shape[1]
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    q = quad12.reshape(h * w, 12)[y0i * w + x0i]
+    c00, c10 = q[..., 0:3], q[..., 3:6]
+    c01, c11 = q[..., 6:9], q[..., 9:12]
+    top = c00 * (1 - tx) + c10 * tx
+    bot = c01 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
 def envmap_lookup(env: EnvMap, dirs: jnp.ndarray) -> jnp.ndarray:
     """Radiance along escaped rays (GetHDRImageColor, comp:190-193)."""
     uv = spherical_uv(dirs)
+    if env.quad12 is not None:
+        return bilinear_lookup_quads(env.quad12, uv[..., 0], uv[..., 1])
     return bilinear_lookup(env.image, uv[..., 0], uv[..., 1])

@@ -193,3 +193,22 @@ def test_alias_pdf_consistent_with_reported_pdf():
     pdf2 = envmap_pdf(env, d)
     np.testing.assert_allclose(np.asarray(pdf), np.asarray(pdf2),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_quad_lookup_matches_four_gather_bilinear():
+    import numpy as np
+
+    from pnraytracing_tpu.io.hdr import procedural_sky
+    from pnraytracing_tpu.ops.envmap import (
+        bilinear_lookup,
+        bilinear_lookup_quads,
+        build_envmap,
+    )
+
+    env = build_envmap(jnp.asarray(procedural_sky(16, 32)))
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.random(4096, dtype=np.float32))
+    v = jnp.asarray(rng.random(4096, dtype=np.float32))
+    a = bilinear_lookup(env.image, u, v)
+    b = bilinear_lookup_quads(env.quad12, u, v)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
