@@ -34,12 +34,12 @@ class RenderConfig:
     trav_tile: int | None = 4096
 
     # Evaluate the traversal while-loop's condition only every N body
-    # iterations (accel/loops.py::chunked_while): on the tunneled TPU a
-    # dynamic loop condition costs ~0.6 ms PER ITERATION (crash_sweep
-    # loop_overhead probe), dominating every fine-grained loop.  Bodies
-    # are masked no-ops once drained, so overshoot only wastes lanes.
-    # 1 = plain while_loop.
-    trav_chunk: int = 16
+    # iterations (accel/loops.py::chunked_while).  Hardware measurement
+    # (crash_sweep loop_overhead): while and fori iterations both cost
+    # ~50 us of loop overhead — the condition itself is nearly free — so
+    # chunking is neutral and overshoot wastes whole body iterations.
+    # Default 1 (plain while_loop); kept as an A/B knob.
+    trav_chunk: int = 1
 
     # Per-ray leaf-collection buffer of the 4-wide collect-then-test
     # backend (traversal='wide4', accel/traverse_wide4.py); rays that
