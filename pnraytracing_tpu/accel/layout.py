@@ -47,9 +47,10 @@ class Wide4Data:
     (4 pre-gathered triangles + ids).  Host-built; depth4 is the 4-wide
     tree depth (static, sizes the traversal stack)."""
 
-    nodes32: jnp.ndarray  # [N4, 32] f32
+    nodes32: jnp.ndarray  # [Nw, row_width] f32
     leaf40: jnp.ndarray  # [NL, 40] f32
     depth4: int = struct.field(pytree_node=False, default=0)
+    width: int = struct.field(pytree_node=False, default=4)
 
 
 @struct.dataclass

@@ -27,22 +27,21 @@ from pnraytracing_tpu.ops.intersect import (
 )
 
 
-def _children_boxes(rows):
-    """[R, 32] -> (mins [R, 4, 3], maxs [R, 4, 3], enc [R, 4] i32)."""
-    boxes = rows[:, :24].reshape(-1, 4, 6)
-    return boxes[..., 0:3], boxes[..., 3:6], rows[:, 24:28].astype(jnp.int32)
+def _children_boxes(rows, width: int):
+    """[R, row] -> (mins [R, W, 3], maxs [R, W, 3], enc [R, W] i32)."""
+    boxes = rows[:, : 6 * width].reshape(-1, width, 6)
+    enc = rows[:, 6 * width: 7 * width].astype(jnp.int32)
+    return boxes[..., 0:3], boxes[..., 3:6], enc
 
 
 def _phase1_collect(
-    nodes32, o, d, t_cap, active0, *, stack_depth, leaf_buffer, chunk
+    nodes32, o, d, t_cap, active0, *, width, stack_depth, leaf_buffer, chunk
 ):
     """Walk internal topology; return (leaf_buf [R, B] i32 leaf ids
     (-1 empty), overflow [R] bool)."""
     r = o.shape[0]
     arange = jnp.arange(r, dtype=jnp.int32)
     inv_d = safe_inv_dir(d)
-    offs = jnp.arange(4, dtype=jnp.int32)[None, :]  # [1, 4]
-
     stack = jnp.zeros((r, stack_depth), jnp.int32)  # 4-wide node ids
     top = jnp.where(active0, 1, 0).astype(jnp.int32)
     leaf_buf = jnp.full((r, leaf_buffer), -1, jnp.int32)
@@ -59,15 +58,15 @@ def _phase1_collect(
         node = jnp.where(live, stack[arange, idx], 0)
         top = jnp.where(live, top - 1, top)
 
-        rows = nodes32[node]  # [R, 32] — the iteration's one gather
-        mins, maxs, enc = _children_boxes(rows)
+        rows = nodes32[node]  # [R, row] — the iteration's one gather
+        mins, maxs, enc = _children_boxes(rows, width)
         hitk = jnp.stack(
             [
                 intersect_aabb(mins[:, k], maxs[:, k], o, inv_d, t_cap)
-                for k in range(4)
+                for k in range(width)
             ],
             axis=1,
-        )  # [R, 4]
+        )  # [R, W]
         occupied = enc != 0
         passk = hitk & occupied & live[:, None]
         is_leaf = (enc % 2) == 1
@@ -180,7 +179,7 @@ def closest_hit_wide4(
     t_max = jnp.asarray(t_max, jnp.float32)
     active0 = jnp.ones(o.shape[:1], bool) if mask is None else mask
     leaf_buf, overflow = _phase1_collect(
-        w4.nodes32, o, d, t_max, active0,
+        w4.nodes32, o, d, t_max, active0, width=w4.width,
         stack_depth=stack_depth, leaf_buffer=leaf_buffer, chunk=chunk,
     )
     best = _phase2_closest(w4.leaf40, leaf_buf, o, d, t_max,
@@ -217,7 +216,7 @@ def any_hit_wide4(
     t_max = jnp.asarray(t_max, jnp.float32)
     active0 = jnp.ones(o.shape[:1], bool) if mask is None else mask
     leaf_buf, overflow = _phase1_collect(
-        w4.nodes32, o, d, t_max, active0,
+        w4.nodes32, o, d, t_max, active0, width=w4.width,
         stack_depth=stack_depth, leaf_buffer=leaf_buffer, chunk=chunk,
     )
     occ = _phase2_any(w4.leaf40, leaf_buf, o, d, t_max, max_leaf_size,

@@ -36,24 +36,32 @@ from __future__ import annotations
 
 import numpy as np
 
-WIDTH = 4
-# child encodings in nodes32[:, 24:28]: 0 = empty, odd = leaf, even = internal
-# enc_internal(i) = 2*(i+1), enc_leaf(l) = 2*l + 1
-PAD = 32  # row width (24 box floats + 4 child codes + 4 spare)
+# child encodings in nodes32[:, 6*W : 7*W]: 0 = empty, odd = leaf,
+# even = internal; enc_internal(i) = 2*(i+1), enc_leaf(l) = 2*l + 1
+
+
+def _row_width(width: int) -> int:
+    """6 box floats + 1 child code per slot, padded up to a multiple
+    of 8 (sublane alignment)."""
+    need = 7 * width
+    return (need + 7) // 8 * 8
 
 
 def collapse_binary(node_min, node_max, right_child, start, end,
-                    max_leaf_size: int = 4):
-    """Binary flat BVH -> (nodes32 [N4, PAD] f32, leaf_start [NL] i32,
-    leaf_count [NL] i32, depth4 int).
+                    max_leaf_size: int = 4, width: int = 4):
+    """Binary flat BVH -> (nodes32 [Nw, row_width] f32, leaf_start [NL]
+    i32, leaf_count [NL] i32, depth int) at branching factor ``width``.
 
-    Children of a 4-node are the binary node's grandchildren (or the
-    child itself where the child is a leaf)."""
+    A wide node's children are grown from the binary node by repeatedly
+    expanding the internal child with the largest surface area until
+    ``width`` slots are filled (leaves stay as-is) — the SAH-greedy
+    collapse."""
     node_min = np.asarray(node_min)
     node_max = np.asarray(node_max)
     right_child = np.asarray(right_child)
     start = np.asarray(start)
     end = np.asarray(end)
+    PAD = _row_width(width)
 
     def kids(b):
         """Binary children of binary node b, or None for a leaf."""
@@ -76,20 +84,28 @@ def collapse_binary(node_min, node_max, right_child, start, end,
         row = np.zeros(PAD, np.float32)
         row[0:3] = node_min[0]
         row[3:6] = node_max[0]
-        row[24] = 2 * li + 1
+        row[6 * width] = 2 * li + 1
         nodes32 = np.asarray([row], np.float32)
         return (nodes32, np.asarray(leaf_start, np.int32),
                 np.asarray(leaf_count, np.int32), 1)
 
+    def area(b):
+        d = np.maximum(node_max[b] - node_min[b], 0.0)
+        return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
     def gather_children(b):
-        """Up to 4 binary descendants forming the 4-node's children."""
-        out = []
-        for c in kids(b):
-            k = kids(c)
-            if k is None:
-                out.append(c)
-            else:
-                out.extend(k)
+        """Up to ``width`` binary descendants: greedily expand the
+        largest-area internal entry until the slots are full."""
+        out = list(kids(b))
+        while len(out) < width:
+            best_i, best_a = -1, -1.0
+            for i, c in enumerate(out):
+                if kids(c) is not None and area(c) > best_a:
+                    best_i, best_a = i, area(c)
+            if best_i < 0:
+                break
+            c = out.pop(best_i)
+            out.extend(kids(c))
         return out
 
     # breadth-first emission so child indices are assigned forward
@@ -119,10 +135,10 @@ def collapse_binary(node_min, node_max, right_child, start, end,
             nodes32[i, 6 * k + 3:6 * k + 6] = node_max[c]
             if kids(c) is None:
                 li = add_leaf(c)
-                nodes32[i, 24 + k] = 2 * li + 1
+                nodes32[i, 6 * width + k] = 2 * li + 1
             else:
                 j = emitted[c]
-                nodes32[i, 24 + k] = 2 * (j + 1)
+                nodes32[i, 6 * width + k] = 2 * (j + 1)
                 depth[j] = depth[i] + 1
     return (nodes32, np.asarray(leaf_start, np.int32),
             np.asarray(leaf_count, np.int32), int(depth.max()))
@@ -148,7 +164,8 @@ def build_leaf40(tri9: np.ndarray, leaf_start: np.ndarray,
     return out
 
 
-def pack_wide4(built, tri9_np: np.ndarray, max_leaf_size: int = 4):
+def pack_wide4(built, tri9_np: np.ndarray, max_leaf_size: int = 4,
+               width: int = 4):
     """BVHArrays + reordered tri9 -> Wide4Data (host)."""
     import jax.numpy as jnp
 
@@ -156,8 +173,9 @@ def pack_wide4(built, tri9_np: np.ndarray, max_leaf_size: int = 4):
 
     nodes32, ls, lc, depth4 = collapse_binary(
         built.node_min, built.node_max, built.right_child,
-        built.start, built.end, max_leaf_size,
+        built.start, built.end, max_leaf_size, width=width,
     )
     leaf40 = build_leaf40(tri9_np, ls, lc, max_leaf_size)
     return Wide4Data(nodes32=jnp.asarray(nodes32),
-                     leaf40=jnp.asarray(leaf40), depth4=depth4)
+                     leaf40=jnp.asarray(leaf40), depth4=depth4,
+                     width=width)

@@ -330,7 +330,7 @@ def _render_rays(
 
             w4 = scene.trav.w4
             w4_kw = dict(
-                stack_depth=max(16, 3 * w4.depth4 + 4),
+                stack_depth=max(16, (w4.width - 1) * w4.depth4 + 4),
                 max_leaf_size=cfg.max_leaf_size,
                 compat=compat,
                 leaf_buffer=cfg.trav_leaf_buffer,

@@ -224,10 +224,15 @@ class SceneBuilder:
         ):
             trav = pack_traversal_data(bvh, mesh)
             if max_count <= 4:
+                import os as _os
+
                 from pnraytracing_tpu.accel.wide4 import pack_wide4
 
                 tri9_np = positions[indices[order]].reshape(len(order), 9)
-                trav = trav.replace(w4=pack_wide4(built, tri9_np))
+                width = int(_os.environ.get("PNRT_WIDE_WIDTH", "4"))
+                trav = trav.replace(
+                    w4=pack_wide4(built, tri9_np, width=width)
+                )
 
         return Scene(
             mesh=mesh,

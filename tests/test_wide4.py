@@ -108,3 +108,24 @@ def test_wide4_full_render_matches_packed():
     ia = np.asarray(render_frame(scene, cam, cfg_a, 0))
     ib = np.asarray(render_frame(scene, cam, cfg_b, 0))
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_width8_matches_oracle():
+    from pnraytracing_tpu.accel.wide4 import pack_wide4 as _pw
+
+    mesh, bvh, trav, _, o, d, t_max, built = setup(seed=7)
+    tri9 = np.asarray(mesh.positions)[np.asarray(mesh.indices)].reshape(-1, 9)
+    w8 = _pw(built, tri9, width=8)
+    assert w8.nodes32.shape[1] == 56
+    a = closest_hit(bvh, mesh, o, d, t_max)
+    b, overflow = closest_hit_wide4(
+        w8, o, d, t_max, stack_depth=7 * w8.depth4 + 4)
+    assert not bool(jnp.any(overflow))
+    np.testing.assert_array_equal(np.asarray(a.tri), np.asarray(b.tri))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    # 8-wide should be shallower than 4-wide
+    _, _, _, d4 = __import__(
+        "pnraytracing_tpu.accel.wide4", fromlist=["collapse_binary"]
+    ).collapse_binary(built.node_min, built.node_max, built.right_child,
+                      built.start, built.end)
+    assert w8.depth4 <= d4
