@@ -50,12 +50,29 @@ def is_device_loss(exc: BaseException) -> bool:
     return any(sig in msg for sig in _DEVICE_LOSS_SIGNATURES)
 
 
-def probe_device() -> bool:
-    """One tiny fetch-bounded computation; False if the device path is
-    still broken."""
+def probe_device(timeout_s: float = 90.0) -> bool:
+    """One tiny fetch-bounded computation in a SUBPROCESS with a hard
+    timeout; False if the device path is still broken.
+
+    Subprocess isolation matters twice over: a wedged tunnel can HANG an
+    RPC forever (observed >17 min on a 256^2 matmul), and a worker crash
+    poisons the client process that saw it — the probe must be neither."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8));"
+        "print(float((x @ x).sum()))"
+    )
     try:
-        x = jnp.ones((8, 8))
-        return float((x @ x).sum()) == 512.0
+        out = subprocess.run(
+            [_sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s,
+        )
+        return out.returncode == 0 and b"512.0" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
     except Exception:
         return False
 
