@@ -1,0 +1,418 @@
+"""Packet BVH traversal as a Pallas (Mosaic) kernel — the TPU-native hot
+path.
+
+Same algorithm as ``accel/traverse_packet.py`` (one shared DFS stack per
+ray tile, pop-test node order, whole-tile VPU tests — the Wald-style SIMD
+packet walk of the reference's per-thread stack traversal,
+shaders/ray_tracing.comp:429-494), but compiled with Mosaic instead of
+driving an XLA ``lax.while_loop``:
+
+* the XLA loop pays ~50 us of dispatch overhead PER ITERATION on this
+  part (BASELINE.md round-3 calibration) — a frame needs ~1e6 traversal
+  iterations, which is the measured 30 s/frame wall and what the tunnel
+  worker's execution deadline kills;
+* inside a Mosaic kernel the same iteration is straight-line machine
+  code: measured <= ~30 ns/iteration, below dispatch noise
+  (scripts/probe_packet_pallas.py) — three orders of magnitude.
+
+Layout: the whole scene (``nodes8`` + ``tri9`` rows, accel/layout.py)
+lives in SMEM as a flat f32 scalar-prefetch array; node/triangle fetches
+are scalar reads broadcast against (sublane, 128)-shaped ray-component
+tiles.  Zero gathers, zero per-lane dynamic indexing (the construct
+Mosaic rejects — scripts/probe_pallas.py).  The grid runs one program
+per ray tile; ray blocks stream HBM->VMEM through the BlockSpec
+pipeline.
+
+Results are bit-identical to ``traversal="packet"``: the arithmetic is
+`ops/intersect.py::intersect_{triangle,aabb}_c` (op-for-op twins of the
+array forms) and the visit order (pop-test, near-child-first by the
+tile's mean direction sign) matches `_closest_hit_packet_tile` when the
+tile sizes agree.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pnraytracing_tpu.accel.layout import TravData
+from pnraytracing_tpu.ops.intersect import (
+    Hit,
+    intersect_aabb_c,
+    intersect_triangle_c,
+)
+
+# The flat scene array must fit Mosaic's scalar memory alongside stacks
+# and control state.  Measured headroom on v5e: a 512 KB prefetch array
+# compiles and runs; scenes beyond the budget should use
+# ``traversal="packet"`` (accel/traverse_packet.py) instead.
+SMEM_SCENE_BUDGET_BYTES = 8 << 20  # optimistic cap; probed at runtime
+
+
+def scene_fits_smem(trav: TravData) -> bool:
+    n_nodes = trav.nodes8.shape[0]
+    n_tris = trav.tri9.shape[0]
+    return 4 * (8 * n_nodes + 9 * n_tris) <= SMEM_SCENE_BUDGET_BYTES
+
+
+def _node_scalars(scene_ref, node):
+    """8 scalar reads of one packed node row from SMEM + topology decode
+    (arithmetic encoding, accel/layout.py)."""
+    base = node * 8
+    nmin = (scene_ref[base], scene_ref[base + 1], scene_ref[base + 2])
+    nmax = (scene_ref[base + 3], scene_ref[base + 4], scene_ref[base + 5])
+    enc_right = scene_ref[base + 6].astype(jnp.int32)
+    enc_meta = scene_ref[base + 7].astype(jnp.int32)
+    right = jnp.where(enc_right >= 0, enc_right // 4, -1)
+    axis = jnp.where(enc_right >= 0, enc_right % 4, 0)
+    start = enc_meta // 16
+    count = enc_meta % 16
+    return nmin, nmax, right, start, count, axis
+
+
+def _tri_scalars(scene_ref, tri_base, ti):
+    base = tri_base + ti * 9
+    v0 = (scene_ref[base], scene_ref[base + 1], scene_ref[base + 2])
+    v1 = (scene_ref[base + 3], scene_ref[base + 4], scene_ref[base + 5])
+    v2 = (scene_ref[base + 6], scene_ref[base + 7], scene_ref[base + 8])
+    return v0, v1, v2
+
+
+def _ray_components(rays_ref):
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    t_max = rays_ref[0, 6]
+    active = rays_ref[0, 7] > 0.0
+    return ox, oy, oz, dx, dy, dz, t_max, active
+
+
+def _safe_inv_c(d, eps=1e-20):
+    # twin of ops/intersect.py::safe_inv_dir, componentwise
+    return jnp.where(d >= 0, 1.0, -1.0) / jnp.maximum(jnp.abs(d), eps)
+
+
+def _closest_kernel(
+    n_nodes: int,
+    n_tris: int,
+    max_leaf_size: int,
+    compat: bool,
+    dsign_ref,
+    scene_ref,
+    rays_ref,
+    t_ref,
+    tri_ref,
+    b1_ref,
+    b2_ref,
+    stack_ref,
+):
+    tile = pl.program_id(0)
+    tri_base = 8 * n_nodes
+    ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
+    inv_dx = _safe_inv_c(dx)
+    inv_dy = _safe_inv_c(dy)
+    inv_dz = _safe_inv_c(dz)
+
+    stack_ref[0] = 0
+    top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+    zero = jnp.zeros_like(t_max)
+
+    def body(state):
+        top, t_best, tri_best, b1_best, b2_best = state
+        node = stack_ref[jnp.maximum(top - 1, 0)]
+        top = top - 1
+        nmin, nmax, right, start, count, axis = _node_scalars(scene_ref, node)
+        hits = active & intersect_aabb_c(
+            nmin, nmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
+            compat=compat,
+        )
+        alive = jnp.any(hits)
+        is_leaf = right < 0
+
+        do_leaf = alive & is_leaf
+        for k in range(max_leaf_size):
+            ti = start + k
+            ti_c = jnp.minimum(ti, n_tris - 1)
+            valid = do_leaf & (k < count)
+            v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
+            tri_hit, t, b1, b2 = intersect_triangle_c(
+                v0, v1, v2, ox, oy, oz, dx, dy, dz, t_best, compat=compat,
+            )
+            win = hits & tri_hit & valid & (t < t_best)
+            t_best = jnp.where(win, t, t_best)
+            tri_best = jnp.where(win, ti, tri_best)
+            b1_best = jnp.where(win, b1, b1_best)
+            b2_best = jnp.where(win, b2, b2_best)
+
+        left = node + 1
+        d_neg = dsign_ref[tile * 3 + axis] < 0
+        near = jnp.where(d_neg, right, left)
+        far = jnp.where(d_neg, left, right)
+        push = alive & jnp.logical_not(is_leaf)
+        inc = push.astype(jnp.int32)
+        # slots at indices >= top are free: write unconditionally, commit
+        # by advancing top only when pushing
+        stack_ref[jnp.maximum(top, 0)] = far
+        top1 = top + inc
+        stack_ref[jnp.maximum(top1, 0)] = near
+        top2 = top1 + inc
+        return top2, t_best, tri_best, b1_best, b2_best
+
+    _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        body,
+        (
+            top0,
+            jnp.asarray(t_max, jnp.float32),
+            jnp.full(t_max.shape, -1, jnp.int32),
+            zero,
+            zero,
+        ),
+    )
+    t_ref[0] = t_best
+    tri_ref[0] = tri_best
+    b1_ref[0] = b1_best
+    b2_ref[0] = b2_best
+
+
+def _any_kernel(
+    n_nodes: int,
+    n_tris: int,
+    max_leaf_size: int,
+    compat: bool,
+    dsign_ref,
+    scene_ref,
+    rays_ref,
+    occ_ref,
+    stack_ref,
+):
+    tile = pl.program_id(0)
+    tri_base = 8 * n_nodes
+    ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
+    inv_dx = _safe_inv_c(dx)
+    inv_dy = _safe_inv_c(dy)
+    inv_dz = _safe_inv_c(dz)
+
+    stack_ref[0] = 0
+    top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+
+    def body(state):
+        top, occ = state
+        node = stack_ref[jnp.maximum(top - 1, 0)]
+        top = top - 1
+        nmin, nmax, right, start, count, axis = _node_scalars(scene_ref, node)
+        pending = active & jnp.logical_not(occ > 0)
+        hits = pending & intersect_aabb_c(
+            nmin, nmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_max,
+            compat=compat,
+        )
+        alive = jnp.any(hits)
+        is_leaf = right < 0
+
+        do_leaf = alive & is_leaf
+        new_occ = occ
+        for k in range(max_leaf_size):
+            ti = start + k
+            ti_c = jnp.minimum(ti, n_tris - 1)
+            valid = do_leaf & (k < count)
+            v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
+            tri_hit, _, _, _ = intersect_triangle_c(
+                v0, v1, v2, ox, oy, oz, dx, dy, dz, t_max, compat=compat,
+            )
+            new_occ = jnp.where(hits & tri_hit & valid,
+                                jnp.int32(1), new_occ)
+
+        left = node + 1
+        d_neg = dsign_ref[tile * 3 + axis] < 0
+        near = jnp.where(d_neg, right, left)
+        far = jnp.where(d_neg, left, right)
+        push = alive & jnp.logical_not(is_leaf)
+        inc = push.astype(jnp.int32)
+        stack_ref[jnp.maximum(top, 0)] = far
+        top1 = top + inc
+        stack_ref[jnp.maximum(top1, 0)] = near
+        top2 = top1 + inc
+        # all pending rays resolved -> drain the stack
+        done = jnp.all((new_occ > 0) | jnp.logical_not(active))
+        top2 = jnp.where(done, 0, top2)
+        return top2, new_occ
+
+    _, occ = jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        body,
+        (top0, jnp.zeros(t_max.shape, jnp.int32)),
+    )
+    occ_ref[0] = occ
+
+
+def _pack_inputs(trav, o, d, t_max, mask, tile_size):
+    """Flatten the scene for SMEM and reshape rays into [n_tiles, 8,
+    sub, 128] component tiles (+ per-tile mean-direction signs)."""
+    r = o.shape[0]
+    tile = tile_size if tile_size else max(r, 128)
+    tile = max(128, (tile // 128) * 128)
+    sub = tile // 128
+    pad = (-r) % tile
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    act = mask if mask is not None else jnp.ones((r,), bool)
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        t_max = jnp.pad(t_max, (0, pad))
+        act = jnp.pad(act, (0, pad))
+    n_tiles = (r + pad) // tile
+
+    comps = jnp.stack(
+        [
+            o[:, 0], o[:, 1], o[:, 2],
+            d[:, 0], d[:, 1], d[:, 2],
+            t_max,
+            act.astype(jnp.float32),
+        ],
+        axis=0,
+    )  # [8, R_pad]
+    rays = comps.reshape(8, n_tiles, sub, 128).transpose(1, 0, 2, 3)
+
+    # near/far order per tile from the mean direction sign (same policy
+    # as traverse_packet.py's per-tile dsum)
+    dsum = d.reshape(n_tiles, tile, 3).sum(axis=1)
+    dsign = jnp.where(dsum < 0, -1, 1).astype(jnp.int32).reshape(-1)
+
+    scene = jnp.concatenate(
+        [trav.nodes8.reshape(-1), trav.tri9.reshape(-1)]
+    ).astype(jnp.float32)
+    return scene, dsign, rays, n_tiles, sub, pad
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stack_depth", "max_leaf_size", "compat", "tile_size", "chunk",
+        "interpret",
+    ),
+)
+def closest_hit_pallas(
+    trav: TravData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+    tile_size: int | None = 4096,
+    chunk: int = 1,  # unused: in-kernel iterations are ~ns, no chunking
+    interpret: bool = False,
+) -> Hit:
+    del chunk
+    r = o.shape[0]
+    n_nodes = int(trav.nodes8.shape[0])
+    n_tris = int(trav.tri9.shape[0])
+    scene, dsign, rays, n_tiles, sub, pad = _pack_inputs(
+        trav, o, d, t_max, mask, tile_size
+    )
+
+    kernel = functools.partial(
+        _closest_kernel, n_nodes, n_tris, max_leaf_size, compat
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, sub, 128),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec(
+                (1, sub, 128), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(4)
+        ),
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
+    )
+    t, tri, b1, b2 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(dsign, scene, rays)
+    return Hit(
+        tri=tri.reshape(-1)[:r],
+        t=t.reshape(-1)[:r],
+        b1=b1.reshape(-1)[:r],
+        b2=b2.reshape(-1)[:r],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stack_depth", "max_leaf_size", "compat", "tile_size", "chunk",
+        "interpret",
+    ),
+)
+def any_hit_pallas(
+    trav: TravData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+    tile_size: int | None = 4096,
+    chunk: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    del chunk
+    r = o.shape[0]
+    n_nodes = int(trav.nodes8.shape[0])
+    n_tris = int(trav.tri9.shape[0])
+    scene, dsign, rays, n_tiles, sub, pad = _pack_inputs(
+        trav, o, d, t_max, mask, tile_size
+    )
+
+    kernel = functools.partial(
+        _any_kernel, n_nodes, n_tris, max_leaf_size, compat
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, sub, 128),
+                lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sub, 128), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
+    )
+    occ = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(dsign, scene, rays)
+    return occ.reshape(-1)[:r] > 0

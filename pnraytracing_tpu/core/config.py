@@ -56,7 +56,11 @@ class RenderConfig:
     # fewer loop iterations; 'packed' stays the default.  'pop' tests each
     # node's AABB when popped and pushes children untested: ~2x pops but
     # ONE row gather per pop instead of three (~33% fewer gathered rows)
-    # and a tighter t_max at test time.
+    # and a tighter t_max at test time.  'packet' walks the tree with ONE
+    # shared stack per trav_tile rays (zero gathers) as an XLA while loop;
+    # 'pallas' is the same packet walk compiled as a Mosaic kernel
+    # (accel/traverse_pallas.py) — iterations cost ~ns instead of the
+    # ~50 us XLA loop overhead, the production TPU path.
     traversal: str = "packed"
 
     # Sampler: 'sobol' uses Sobol + Cranley-Patterson rotation for the BRDF
@@ -123,7 +127,9 @@ class RenderConfig:
     def __post_init__(self):
         assert self.loop in ("unroll", "scan")
         assert self.sampler in ("sobol", "hash")
-        assert self.traversal in ("wide", "packed", "pop", "packet", "wide4")
+        assert self.traversal in (
+            "wide", "packed", "pop", "packet", "wide4", "pallas"
+        )
         assert self.mis in ("reference", "balanced")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"

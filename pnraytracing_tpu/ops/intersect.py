@@ -126,6 +126,128 @@ def intersect_triangle(
     return hit, t, b1_, b2_
 
 
+def intersect_triangle_c(
+    v0,
+    v1,
+    v2,
+    ox,
+    oy,
+    oz,
+    dx,
+    dy,
+    dz,
+    t_max,
+    compat: bool = False,
+):
+    """Component-form twin of :func:`intersect_triangle`.
+
+    ``v0/v1/v2`` are 3-tuples of (scalar or broadcastable) vertex
+    components; rays arrive as separate component arrays.  This is the
+    shape the Pallas packet kernel works in — triangle corners are SMEM
+    scalars broadcast against (sublane, lane) ray tiles, where a [R, 3]
+    layout would put xyz on the 128-wide lane axis.  The arithmetic is
+    op-for-op identical to :func:`intersect_triangle` (the axis
+    permutation is pure selection), so results match bit-for-bit; a unit
+    test asserts that equivalence.  Reference: triangle.hpp:15-115,
+    ray_tracing.comp:254-357.
+    """
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    if compat:
+        # identity unless d.z == 0, then x/z or y/z swap (triangle.hpp:34-47)
+        zx = adx > ady
+        z_zero = dz == 0.0
+        kx = jnp.where(z_zero, jnp.where(zx, 2, 0), 0)
+        ky = jnp.where(z_zero, jnp.where(zx, 1, 2), 1)
+        kz = jnp.where(z_zero, jnp.where(zx, 0, 1), 2)
+    else:
+        # jnp.argmax tie-breaking: first index among maxima
+        kz = jnp.where(
+            adx >= ady,
+            jnp.where(adx >= adz, 0, 2),
+            jnp.where(ady >= adz, 1, 2),
+        )
+        kx = (kz + 1) % 3
+        ky = (kx + 1) % 3
+
+    def sel(k, x, y, z):
+        return jnp.where(k == 0, x, jnp.where(k == 1, y, z))
+
+    def perm(x, y, z):
+        return sel(kx, x, y, z), sel(ky, x, y, z), sel(kz, x, y, z)
+
+    dpx, dpy, dpz = perm(dx, dy, dz)
+    a0, a1, a2 = perm(v0[0] - ox, v0[1] - oy, v0[2] - oz)
+    b0, b1, b2v = perm(v1[0] - ox, v1[1] - oy, v1[2] - oz)
+    c0, c1, c2 = perm(v2[0] - ox, v2[1] - oy, v2[2] - oz)
+
+    inv_dz = 1.0 / dpz
+    sx = dpx * inv_dz
+    sy = dpy * inv_dz
+    ax = a0 - a2 * sx
+    ay = a1 - a2 * sy
+    az = a2 * inv_dz
+    bx = b0 - b2v * sx
+    by = b1 - b2v * sy
+    bz = b2v * inv_dz
+    cx = c0 - c2 * sx
+    cy = c1 - c2 * sy
+    cz = c2 * inv_dz
+
+    e0 = bx * cy - by * cx
+    e1 = cx * ay - cy * ax
+    e2 = ax * by - ay * bx
+
+    any_neg = (e0 < 0) | (e1 < 0) | (e2 < 0)
+    any_pos = (e0 > 0) | (e1 > 0) | (e2 > 0)
+    mixed = any_neg & any_pos
+
+    det = e0 + e1 + e2
+    t_scaled = e0 * az + e1 * bz + e2 * cz
+    ok_pos = (det > 0) & (t_scaled > 0) & (t_scaled <= t_max * det)
+    ok_neg = (det < 0) & (t_scaled < 0) & (t_scaled >= t_max * det)
+    hit = (~mixed) & (det != 0) & (ok_pos | ok_neg)
+
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    t = t_scaled * inv_det
+    b1_ = e1 * inv_det
+    b2_ = e2 * inv_det
+    return hit, t, b1_, b2_
+
+
+def intersect_aabb_c(
+    bmin,
+    bmax,
+    ox,
+    oy,
+    oz,
+    inv_dx,
+    inv_dy,
+    inv_dz,
+    t_max,
+    compat: bool = False,
+):
+    """Component-form twin of :func:`intersect_aabb` (slab test with
+    scalar bounds broadcast over ray-component arrays); arithmetic is
+    op-for-op identical.  Reference: bound.hpp:31-47."""
+    fx = (bmax[0] - ox) * inv_dx
+    nx = (bmin[0] - ox) * inv_dx
+    fy = (bmax[1] - oy) * inv_dy
+    ny = (bmin[1] - oy) * inv_dy
+    fz = (bmax[2] - oz) * inv_dz
+    nz = (bmin[2] - oz) * inv_dz
+    t1 = jnp.minimum(
+        jnp.minimum(jnp.maximum(fx, nx), jnp.maximum(fy, ny)),
+        jnp.maximum(fz, nz),
+    )
+    t0 = jnp.maximum(
+        jnp.maximum(jnp.minimum(fx, nx), jnp.minimum(fy, ny)),
+        jnp.minimum(fz, nz),
+    )
+    if compat:
+        return t1 >= t0
+    return (t1 >= jnp.maximum(t0, 0.0)) & (t0 <= t_max)
+
+
 def safe_inv_dir(d: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     """1/d with zero components nudged to +-eps.  GLSL gets +-inf from
     ``1.0 / ray.dir`` (ray_tracing.comp:214) and relies on IEEE semantics;

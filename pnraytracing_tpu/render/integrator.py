@@ -317,6 +317,16 @@ def _render_rays(
             _closest_fn, _occluded_fn = closest_hit_pop, any_hit_pop
         elif cfg.traversal == "packet":
             _closest_fn, _occluded_fn = closest_hit_packet, any_hit_packet
+        elif cfg.traversal == "pallas":
+            from pnraytracing_tpu.accel.traverse_pallas import (
+                any_hit_pallas,
+                closest_hit_pallas,
+            )
+
+            # Mosaic compiles on TPU only; elsewhere (CPU test meshes)
+            # the same kernel runs under the Pallas interpreter.
+            packed_kw["interpret"] = jax.default_backend() != "tpu"
+            _closest_fn, _occluded_fn = closest_hit_pallas, any_hit_pallas
         elif cfg.traversal == "wide4" and scene.trav.w4 is not None:
             _closest_fn = _occluded_fn = None
         else:

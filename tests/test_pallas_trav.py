@@ -1,0 +1,120 @@
+"""Pallas (Mosaic) packet traversal must agree with the per-ray backends.
+
+On CPU the kernel runs under the Pallas interpreter (interpret=True);
+the arithmetic is identical component-form math (intersect_*_c twins),
+so t/b1/b2 compare exactly against the generic traversal — a unit test
+also pins the componentwise cores to the array forms bit-for-bit.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pnraytracing_tpu.accel.traverse import any_hit, closest_hit
+from pnraytracing_tpu.accel.traverse_pallas import (
+    any_hit_pallas,
+    closest_hit_pallas,
+)
+from pnraytracing_tpu.ops.intersect import (
+    intersect_aabb,
+    intersect_aabb_c,
+    intersect_triangle,
+    intersect_triangle_c,
+    safe_inv_dir,
+)
+from tests.test_packet import setup
+
+
+def test_componentwise_triangle_matches_array_form():
+    rng = np.random.default_rng(5)
+    n = 4096
+    p = rng.normal(size=(3, 3)).astype(np.float32)
+    o = rng.uniform(-2, 2, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    # include axis-degenerate directions (permutation corner cases)
+    d[:64, 2] = 0.0
+    d[64:96, 1:] = 0.0
+    t_max = np.full((n,), 1e6, np.float32)
+    for compat in (False, True):
+        hit_a, t_a, b1_a, b2_a = intersect_triangle(
+            p[0], p[1], p[2], o, d, t_max, compat=compat
+        )
+        hit_c, t_c, b1_c, b2_c = intersect_triangle_c(
+            tuple(p[0]), tuple(p[1]), tuple(p[2]),
+            o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            t_max, compat=compat,
+        )
+        np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_c))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_c))
+        np.testing.assert_array_equal(np.asarray(b1_a), np.asarray(b1_c))
+        np.testing.assert_array_equal(np.asarray(b2_a), np.asarray(b2_c))
+
+
+def test_componentwise_aabb_matches_array_form():
+    rng = np.random.default_rng(6)
+    n = 2048
+    bmin = rng.uniform(-3, 0, size=3).astype(np.float32)
+    bmax = bmin + rng.uniform(0.5, 3, size=3).astype(np.float32)
+    o = rng.uniform(-6, 6, size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:32, 0] = 0.0
+    inv_d = safe_inv_dir(jnp.asarray(d))
+    t_max = jnp.asarray(rng.uniform(0.1, 20, size=n).astype(np.float32))
+    for compat in (False, True):
+        a = intersect_aabb(bmin, bmax, o, inv_d, t_max, compat=compat)
+        c = intersect_aabb_c(
+            tuple(bmin), tuple(bmax), o[:, 0], o[:, 1], o[:, 2],
+            inv_d[:, 0], inv_d[:, 1], inv_d[:, 2], t_max, compat=compat,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+# The kernel's closest hit is mathematically order-independent, but the
+# Pallas pipeline (interpreter on CPU, Mosaic on TPU) contracts a*b+c
+# into FMAs differently than the XLA-compiled reference traversal, so t
+# values can drift by ~1 ulp; marginal hits at exactly t_max*det can
+# flip with them.  Compare with tight tolerances, not bit equality.
+
+
+def _assert_hits_close(a, b, n):
+    tri_a, tri_b = np.asarray(a.tri), np.asarray(b.tri)
+    t_a, t_b = np.asarray(a.t), np.asarray(b.t)
+    same = tri_a == tri_b
+    assert same.sum() >= n - 2, f"{(~same).sum()} tri mismatches"
+    np.testing.assert_allclose(t_a[same], t_b[same], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.b1)[same], np.asarray(b.b1)[same],
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.b2)[same], np.asarray(b.b2)[same],
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_closest_hit_pallas_matches_generic():
+    mesh, bvh, trav, o, d, t_max = setup(num_tris=120, num_rays=256)
+    a = closest_hit(bvh, mesh, o, d, t_max)
+    b = closest_hit_pallas(trav, o, d, t_max, tile_size=128, interpret=True)
+    _assert_hits_close(a, b, 256)
+
+
+def test_closest_hit_pallas_masked_and_padded():
+    mesh, bvh, trav, o, d, t_max = setup(
+        num_tris=120, num_rays=300, seed=11
+    )  # 300 pads to 384 at tile 128
+    mask = jnp.asarray(np.arange(300) % 3 != 0)
+    a = closest_hit(bvh, mesh, o, d, t_max, mask)
+    b = closest_hit_pallas(
+        trav, o, d, t_max, mask, tile_size=128, interpret=True
+    )
+    _assert_hits_close(a, b, 300)
+    # masked-out rays must report miss
+    assert (np.asarray(b.tri)[~np.asarray(mask)] == -1).all()
+
+
+def test_any_hit_pallas_matches_generic():
+    mesh, bvh, trav, o, d, t_max = setup(num_tris=120, num_rays=256, seed=9)
+    short = jnp.asarray(np.full((o.shape[0],), 4.0, np.float32))
+    a = any_hit(bvh, mesh, o, d, short)
+    b = any_hit_pallas(trav, o, d, short, tile_size=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
