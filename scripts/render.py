@@ -124,6 +124,11 @@ def main() -> int:
                     "in depth (use for deep bounces)")
     ap.add_argument("--compat", action="store_true",
                     help="reproduce the reference's quirks exactly")
+    ap.add_argument("--traversal", default=None,
+                    choices=["packed", "pop", "wide", "packet", "wide4",
+                             "pallas"],
+                    help="traversal backend (default: RenderConfig default;"
+                    " 'pallas' is the Mosaic kernel, TPU hot path)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--sharded", action="store_true",
                     help="shard over all local devices")
@@ -145,9 +150,13 @@ def main() -> int:
     from pnraytracing_tpu.render.renderer import render_frame
     from pnraytracing_tpu.utils.image import save_png
 
+    overrides = {}
+    if args.traversal:
+        overrides["traversal"] = args.traversal
     cfg = RenderConfig(
         width=args.width, height=args.height, max_depth=args.depth,
         sampler=args.sampler, compat_pnrt=args.compat, loop=args.loop,
+        **overrides,
     )
     if args.model:
         scene, cam_state = scene_from_file(args.model, args.width / args.height)
