@@ -66,7 +66,10 @@ def main() -> int:
                     help="traversal tile size; 0 = untiled (one lockstep "
                     "batch); default = RenderConfig default")
     ap.add_argument("--traversal", default=None,
-                    choices=["packed", "pop", "wide", "packet", "wide4"])
+                    choices=["packed", "pop", "wide", "packet", "wide4",
+                             "pallas"],
+                    help="default: 'pallas' (the Mosaic packet kernel) on "
+                    "TPU, RenderConfig default elsewhere")
     ap.add_argument("--trav-chunk", type=int, default=None,
                     help="traversal loop chunk (condition checked every N "
                     "iterations; 1 = plain while_loop)")
@@ -110,6 +113,11 @@ def main() -> int:
         overrides["trav_tile"] = args.trav_tile if args.trav_tile > 0 else None
     if args.traversal is not None:
         overrides["traversal"] = args.traversal
+    elif not args.cpu:
+        # the Mosaic packet kernel is the TPU hot path (the XLA loop
+        # backends run ~35x slower and overrun the worker's execution
+        # deadline at flagship size)
+        overrides["traversal"] = "pallas"
     if args.trav_chunk is not None:
         overrides["trav_chunk"] = args.trav_chunk
     if args.no_compact:
