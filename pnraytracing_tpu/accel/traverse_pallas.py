@@ -111,6 +111,7 @@ def _closest_kernel(
     tri_ref,
     b1_ref,
     b2_ref,
+    iters_ref,
     stack_ref,
 ):
     tile = pl.program_id(0)
@@ -125,7 +126,7 @@ def _closest_kernel(
     zero = jnp.zeros_like(t_max)
 
     def body(state):
-        top, t_best, tri_best, b1_best, b2_best = state
+        top, it, t_best, tri_best, b1_best, b2_best = state
         node = stack_ref[jnp.maximum(top - 1, 0)]
         top = top - 1
         nmin, nmax, right, start, count, axis = _node_scalars(scene_ref, node)
@@ -163,13 +164,14 @@ def _closest_kernel(
         top1 = top + inc
         stack_ref[jnp.maximum(top1, 0)] = near
         top2 = top1 + inc
-        return top2, t_best, tri_best, b1_best, b2_best
+        return top2, it + 1, t_best, tri_best, b1_best, b2_best
 
-    _, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
+    _, iters, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
         lambda s: s[0] > 0,
         body,
         (
             top0,
+            jnp.int32(0),
             jnp.asarray(t_max, jnp.float32),
             jnp.full(t_max.shape, -1, jnp.int32),
             zero,
@@ -180,6 +182,7 @@ def _closest_kernel(
     tri_ref[0] = tri_best
     b1_ref[0] = b1_best
     b2_ref[0] = b2_best
+    iters_ref[tile, 0] = iters
 
 
 def _any_kernel(
@@ -191,6 +194,7 @@ def _any_kernel(
     scene_ref,
     rays_ref,
     occ_ref,
+    iters_ref,
     stack_ref,
 ):
     tile = pl.program_id(0)
@@ -204,7 +208,7 @@ def _any_kernel(
     top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
 
     def body(state):
-        top, occ = state
+        top, it, occ = state
         node = stack_ref[jnp.maximum(top - 1, 0)]
         top = top - 1
         nmin, nmax, right, start, count, axis = _node_scalars(scene_ref, node)
@@ -242,19 +246,233 @@ def _any_kernel(
         # all pending rays resolved -> drain the stack
         done = jnp.all((new_occ > 0) | jnp.logical_not(active))
         top2 = jnp.where(done, 0, top2)
-        return top2, new_occ
+        return top2, it + 1, new_occ
 
-    _, occ = jax.lax.while_loop(
+    _, iters, occ = jax.lax.while_loop(
         lambda s: s[0] > 0,
         body,
-        (top0, jnp.zeros(t_max.shape, jnp.int32)),
+        (top0, jnp.int32(0), jnp.zeros(t_max.shape, jnp.int32)),
     )
     occ_ref[0] = occ
+    iters_ref[tile, 0] = iters
+
+
+def _wide_row(scene_ref, row):
+    """16 scalar reads of one wide internal row (accel/layout.py::
+    pack_wide_nodes): both children's AABBs + encoded child infos + split
+    axis.  ``info >= 0`` = internal child's row id; ``< 0`` encodes a
+    leaf as ``-(start*16+count)-1``."""
+    base = row * 16
+    lmin = (scene_ref[base], scene_ref[base + 1], scene_ref[base + 2])
+    lmax = (scene_ref[base + 3], scene_ref[base + 4], scene_ref[base + 5])
+    rmin = (scene_ref[base + 6], scene_ref[base + 7], scene_ref[base + 8])
+    rmax = (scene_ref[base + 9], scene_ref[base + 10], scene_ref[base + 11])
+    left_info = scene_ref[base + 12].astype(jnp.int32)
+    right_info = scene_ref[base + 13].astype(jnp.int32)
+    axis = scene_ref[base + 14].astype(jnp.int32)
+    return lmin, lmax, rmin, rmax, left_info, right_info, axis
+
+
+def _closest_kernel_wide(
+    n_nodes: int,
+    n_tris: int,
+    max_leaf_size: int,
+    compat: bool,
+    dsign_ref,
+    scene_ref,
+    rays_ref,
+    t_ref,
+    tri_ref,
+    b1_ref,
+    b2_ref,
+    iters_ref,
+    stack_ref,
+):
+    """Push-test packet walk over the wide [N, 16] rows: an internal pop
+    slab-tests BOTH children and pushes only hit children; a leaf pop
+    only runs triangle tests (the AABB filter already passed at the
+    parent).  Half the iterations of the pop-test binary walk, and each
+    iteration runs ONE branch (``lax.cond``), not both masked."""
+    tile = pl.program_id(0)
+    tri_base = 16 * n_nodes
+    ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
+    inv_dx = _safe_inv_c(dx)
+    inv_dy = _safe_inv_c(dy)
+    inv_dz = _safe_inv_c(dz)
+
+    # stack entries are child infos; seed with the root's internal row
+    stack_ref[0] = 0
+    top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+    zero = jnp.zeros_like(t_max)
+
+    def body(state):
+        top, it, t_best, tri_best, b1_best, b2_best = state
+        info = stack_ref[jnp.maximum(top - 1, 0)]
+        top = top - 1
+        is_leaf = info < 0
+
+        def leaf_branch(_):
+            meta = -info - 1
+            start = meta // 16
+            count = meta % 16
+            t_b, tri_b, b1_b, b2_b = t_best, tri_best, b1_best, b2_best
+            for k in range(max_leaf_size):
+                ti = start + k
+                ti_c = jnp.minimum(ti, n_tris - 1)
+                valid = k < count
+                v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
+                tri_hit, t, b1, b2 = intersect_triangle_c(
+                    v0, v1, v2, ox, oy, oz, dx, dy, dz, t_b, compat=compat,
+                )
+                win = active & tri_hit & valid & (t < t_b)
+                t_b = jnp.where(win, t, t_b)
+                tri_b = jnp.where(win, ti, tri_b)
+                b1_b = jnp.where(win, b1, b1_b)
+                b2_b = jnp.where(win, b2, b2_b)
+            z = jnp.int32(0)
+            return t_b, tri_b, b1_b, b2_b, z, z, z, z
+
+        def internal_branch(_):
+            lmin, lmax, rmin, rmax, li, ri, axis = _wide_row(scene_ref, info)
+            hits_l = active & intersect_aabb_c(
+                lmin, lmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
+                compat=compat,
+            )
+            hits_r = active & intersect_aabb_c(
+                rmin, rmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
+                compat=compat,
+            )
+            inc_l = jnp.any(hits_l).astype(jnp.int32)
+            inc_r = jnp.any(hits_r).astype(jnp.int32)
+            d_neg = dsign_ref[tile * 3 + axis] < 0
+            near = jnp.where(d_neg, ri, li)
+            far = jnp.where(d_neg, li, ri)
+            inc_near = jnp.where(d_neg, inc_r, inc_l)
+            inc_far = jnp.where(d_neg, inc_l, inc_r)
+            return (t_best, tri_best, b1_best, b2_best,
+                    far, near, inc_far, inc_near)
+
+        t_best, tri_best, b1_best, b2_best, far, near, inc_f, inc_n = (
+            jax.lax.cond(is_leaf, leaf_branch, internal_branch, 0)
+        )
+        # far pushed first so near pops first
+        stack_ref[jnp.maximum(top, 0)] = far
+        top1 = top + inc_f
+        stack_ref[jnp.maximum(top1, 0)] = near
+        top2 = top1 + inc_n
+        return top2, it + 1, t_best, tri_best, b1_best, b2_best
+
+    _, iters, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        body,
+        (
+            top0,
+            jnp.int32(0),
+            jnp.asarray(t_max, jnp.float32),
+            jnp.full(t_max.shape, -1, jnp.int32),
+            zero,
+            zero,
+        ),
+    )
+    t_ref[0] = t_best
+    tri_ref[0] = tri_best
+    b1_ref[0] = b1_best
+    b2_ref[0] = b2_best
+    iters_ref[tile, 0] = iters
+
+
+def _any_kernel_wide(
+    n_nodes: int,
+    n_tris: int,
+    max_leaf_size: int,
+    compat: bool,
+    dsign_ref,
+    scene_ref,
+    rays_ref,
+    occ_ref,
+    iters_ref,
+    stack_ref,
+):
+    tile = pl.program_id(0)
+    tri_base = 16 * n_nodes
+    ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
+    inv_dx = _safe_inv_c(dx)
+    inv_dy = _safe_inv_c(dy)
+    inv_dz = _safe_inv_c(dz)
+
+    stack_ref[0] = 0
+    top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+
+    def body(state):
+        top, it, occ = state
+        info = stack_ref[jnp.maximum(top - 1, 0)]
+        top = top - 1
+        is_leaf = info < 0
+        pending = active & jnp.logical_not(occ > 0)
+
+        def leaf_branch(_):
+            meta = -info - 1
+            start = meta // 16
+            count = meta % 16
+            new_occ = occ
+            for k in range(max_leaf_size):
+                ti = start + k
+                ti_c = jnp.minimum(ti, n_tris - 1)
+                valid = k < count
+                v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
+                tri_hit, _, _, _ = intersect_triangle_c(
+                    v0, v1, v2, ox, oy, oz, dx, dy, dz, t_max, compat=compat,
+                )
+                new_occ = jnp.where(pending & tri_hit & valid,
+                                    jnp.int32(1), new_occ)
+            z = jnp.int32(0)
+            return new_occ, z, z, z, z
+
+        def internal_branch(_):
+            lmin, lmax, rmin, rmax, li, ri, axis = _wide_row(scene_ref, info)
+            hits_l = pending & intersect_aabb_c(
+                lmin, lmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_max,
+                compat=compat,
+            )
+            hits_r = pending & intersect_aabb_c(
+                rmin, rmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_max,
+                compat=compat,
+            )
+            inc_l = jnp.any(hits_l).astype(jnp.int32)
+            inc_r = jnp.any(hits_r).astype(jnp.int32)
+            d_neg = dsign_ref[tile * 3 + axis] < 0
+            near = jnp.where(d_neg, ri, li)
+            far = jnp.where(d_neg, li, ri)
+            inc_near = jnp.where(d_neg, inc_r, inc_l)
+            inc_far = jnp.where(d_neg, inc_l, inc_r)
+            return occ, far, near, inc_far, inc_near
+
+        occ2, far, near, inc_f, inc_n = jax.lax.cond(
+            is_leaf, leaf_branch, internal_branch, 0
+        )
+        stack_ref[jnp.maximum(top, 0)] = far
+        top1 = top + inc_f
+        stack_ref[jnp.maximum(top1, 0)] = near
+        top2 = top1 + inc_n
+        # all pending rays resolved -> drain the stack
+        done = jnp.all((occ2 > 0) | jnp.logical_not(active))
+        top2 = jnp.where(done, 0, top2)
+        return top2, it + 1, occ2
+
+    _, iters, occ = jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        body,
+        (top0, jnp.int32(0), jnp.zeros(t_max.shape, jnp.int32)),
+    )
+    occ_ref[0] = occ
+    iters_ref[tile, 0] = iters
 
 
 def _pack_inputs(trav, o, d, t_max, mask, tile_size):
-    """Flatten the scene for SMEM and reshape rays into [n_tiles, 8,
-    sub, 128] component tiles (+ per-tile mean-direction signs)."""
+    """Reshape rays into [n_tiles, 8, sub, 128] component tiles (+
+    per-tile mean-direction signs).  The SMEM scene array is built
+    separately by :func:`_scene_flat` (layout depends on the variant)."""
+    del trav
     r = o.shape[0]
     tile = tile_size if tile_size else max(r, 128)
     tile = max(128, (tile // 128) * 128)
@@ -284,45 +502,34 @@ def _pack_inputs(trav, o, d, t_max, mask, tile_size):
     # as traverse_packet.py's per-tile dsum)
     dsum = d.reshape(n_tiles, tile, 3).sum(axis=1)
     dsign = jnp.where(dsum < 0, -1, 1).astype(jnp.int32).reshape(-1)
+    return None, dsign, rays, n_tiles, sub, pad
 
-    scene = jnp.concatenate(
-        [trav.nodes8.reshape(-1), trav.tri9.reshape(-1)]
+
+def _scene_flat(trav: TravData, variant: str):
+    """Flat SMEM scene array: binary = nodes8 rows + tri9 rows; wide =
+    nodes16 rows + tri9 rows."""
+    if variant == "wide":
+        assert trav.nodes16 is not None, (
+            "traversal='pallas' wide variant needs packed wide rows "
+            "(pack_traversal_data builds them)"
+        )
+        nodes = trav.nodes16
+    else:
+        nodes = trav.nodes8
+    return jnp.concatenate(
+        [nodes.reshape(-1), trav.tri9.reshape(-1)]
     ).astype(jnp.float32)
-    return scene, dsign, rays, n_tiles, sub, pad
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "stack_depth", "max_leaf_size", "compat", "tile_size", "chunk",
-        "interpret",
-    ),
-)
-def closest_hit_pallas(
-    trav: TravData,
-    o: jnp.ndarray,
-    d: jnp.ndarray,
-    t_max: jnp.ndarray,
-    mask: jnp.ndarray | None = None,
-    *,
-    stack_depth: int = 64,
-    max_leaf_size: int = 4,
-    compat: bool = False,
-    tile_size: int | None = 4096,
-    chunk: int = 1,  # unused: in-kernel iterations are ~ns, no chunking
-    interpret: bool = False,
-) -> Hit:
-    del chunk
+def _call_kernel(
+    kernel, n_outs, trav, o, d, t_max, mask, *,
+    stack_depth, tile_size, interpret, variant,
+):
     r = o.shape[0]
-    n_nodes = int(trav.nodes8.shape[0])
-    n_tris = int(trav.tri9.shape[0])
-    scene, dsign, rays, n_tiles, sub, pad = _pack_inputs(
+    _, dsign, rays, n_tiles, sub, pad = _pack_inputs(
         trav, o, d, t_max, mask, tile_size
     )
-
-    kernel = functools.partial(
-        _closest_kernel, n_nodes, n_tris, max_leaf_size, compat
-    )
+    scene = _scene_flat(trav, variant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -338,34 +545,80 @@ def closest_hit_pallas(
                 (1, sub, 128), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
-            for _ in range(4)
+            for _ in range(n_outs)
+        ) + (
+            # SMEM outputs can't be blocked per grid step (tiling
+            # divisibility); expose the whole [n_tiles, 1] array and let
+            # each program write its own row
+            pl.BlockSpec((n_tiles, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
     )
-    t, tri, b1, b2 = pl.pallas_call(
+    dtypes = ([jnp.float32, jnp.int32, jnp.float32, jnp.float32]
+              if n_outs == 4 else [jnp.int32])
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
-        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), dt) for dt in dtypes
+        ) + (jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),),
         grid_spec=grid_spec,
         interpret=interpret,
     )(dsign, scene, rays)
-    return Hit(
-        tri=tri.reshape(-1)[:r],
-        t=t.reshape(-1)[:r],
-        b1=b1.reshape(-1)[:r],
-        b2=b2.reshape(-1)[:r],
-    )
+    return outs, r
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "stack_depth", "max_leaf_size", "compat", "tile_size", "chunk",
-        "interpret",
+        "interpret", "variant", "with_stats",
+    ),
+)
+def closest_hit_pallas(
+    trav: TravData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+    tile_size: int | None = 4096,
+    chunk: int = 1,  # unused: in-kernel iterations are ~ns, no chunking
+    interpret: bool = False,
+    variant: str = "wide",
+    with_stats: bool = False,
+):
+    del chunk
+    n_nodes = int(trav.nodes8.shape[0])
+    n_tris = int(trav.tri9.shape[0])
+    if variant == "wide" and trav.nodes16 is None:
+        variant = "binary"
+    kfn = _closest_kernel_wide if variant == "wide" else _closest_kernel
+    kernel = functools.partial(kfn, n_nodes, n_tris, max_leaf_size, compat)
+    (t, tri, b1, b2, iters), r = _call_kernel(
+        kernel, 4, trav, o, d, t_max, mask,
+        stack_depth=stack_depth, tile_size=tile_size, interpret=interpret,
+        variant=variant,
+    )
+    hit = Hit(
+        tri=tri.reshape(-1)[:r],
+        t=t.reshape(-1)[:r],
+        b1=b1.reshape(-1)[:r],
+        b2=b2.reshape(-1)[:r],
+    )
+    if with_stats:
+        return hit, iters
+    return hit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stack_depth", "max_leaf_size", "compat", "tile_size", "chunk",
+        "interpret", "variant", "with_stats",
     ),
 )
 def any_hit_pallas(
@@ -381,38 +634,22 @@ def any_hit_pallas(
     tile_size: int | None = 4096,
     chunk: int = 1,
     interpret: bool = False,
-) -> jnp.ndarray:
+    variant: str = "wide",
+    with_stats: bool = False,
+):
     del chunk
-    r = o.shape[0]
     n_nodes = int(trav.nodes8.shape[0])
     n_tris = int(trav.tri9.shape[0])
-    scene, dsign, rays, n_tiles, sub, pad = _pack_inputs(
-        trav, o, d, t_max, mask, tile_size
+    if variant == "wide" and trav.nodes16 is None:
+        variant = "binary"
+    kfn = _any_kernel_wide if variant == "wide" else _any_kernel
+    kernel = functools.partial(kfn, n_nodes, n_tris, max_leaf_size, compat)
+    (occ, iters), r = _call_kernel(
+        kernel, 1, trav, o, d, t_max, mask,
+        stack_depth=stack_depth, tile_size=tile_size, interpret=interpret,
+        variant=variant,
     )
-
-    kernel = functools.partial(
-        _any_kernel, n_nodes, n_tris, max_leaf_size, compat
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 8, sub, 128),
-                lambda i, *_: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, sub, 128), lambda i, *_: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
-    )
-    occ = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.int32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(dsign, scene, rays)
-    return occ.reshape(-1)[:r] > 0
+    out = occ.reshape(-1)[:r] > 0
+    if with_stats:
+        return out, iters
+    return out

@@ -118,3 +118,31 @@ def test_any_hit_pallas_matches_generic():
     a = any_hit(bvh, mesh, o, d, short)
     b = any_hit_pallas(trav, o, d, short, tile_size=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_closest_hit_pallas_wide_variant():
+    mesh, bvh, trav, o, d, t_max = setup(num_tris=120, num_rays=256, seed=7)
+    a = closest_hit(bvh, mesh, o, d, t_max)
+    b, iters = closest_hit_pallas(
+        trav, o, d, t_max, tile_size=128, interpret=True,
+        variant="wide", with_stats=True,
+    )
+    _assert_hits_close(a, b, 256)
+    it = np.asarray(iters)
+    assert it.shape == (2, 1) and (it > 0).all()
+    # push-test wide walk must do fewer iterations than pop-test binary
+    _, it_bin = closest_hit_pallas(
+        trav, o, d, t_max, tile_size=128, interpret=True,
+        variant="binary", with_stats=True,
+    )
+    assert it.sum() < np.asarray(it_bin).sum()
+
+
+def test_any_hit_pallas_wide_variant():
+    mesh, bvh, trav, o, d, t_max = setup(num_tris=120, num_rays=256, seed=13)
+    short = jnp.asarray(np.full((o.shape[0],), 4.0, np.float32))
+    a = any_hit(bvh, mesh, o, d, short)
+    b = any_hit_pallas(
+        trav, o, d, short, tile_size=128, interpret=True, variant="wide"
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
