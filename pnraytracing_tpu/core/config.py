@@ -87,6 +87,12 @@ class RenderConfig:
     # iterations.  Pure permutation; images are bit-identical.
     sort_rays: bool = False
 
+    # Sort key: 'dir' = normal-octant-major (octant, |n|, position cell);
+    # 'pos' = position-major Morton (position cell bits interleaved,
+    # octant last) — rays from one region share near subtrees, so 'pos'
+    # can tighten packet unions more.  A/B knob.
+    sort_key: str = "dir"
+
     # Bounce-loop construction.  'unroll' emits max_depth copies of the
     # bounce body (best steady-state code); 'scan' drives one compiled body
     # with lax.scan, so program size / compile time are O(1) in depth —
@@ -131,6 +137,7 @@ class RenderConfig:
             "wide", "packed", "pop", "packet", "wide4", "pallas"
         )
         assert self.mis in ("reference", "balanced")
+        assert self.sort_key in ("dir", "pos")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"
         )

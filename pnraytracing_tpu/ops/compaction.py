@@ -76,6 +76,30 @@ def coherence_key(nrm: jnp.ndarray, pos: jnp.ndarray,
     return key
 
 
+def coherence_key_pos(nrm: jnp.ndarray, pos: jnp.ndarray,
+                      lo: jnp.ndarray, inv_extent: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Position-major variant: 12-bit Morton code of the position cell
+    (4 bits/axis, bit-interleaved) above the 3-bit normal octant.
+
+    For packet traversal the iteration count per tile is the UNION of BVH
+    nodes the tile's rays touch; rays leaving the same region share the
+    near subtrees regardless of direction, so position-major grouping can
+    tighten the union more than direction-major (A/B'd on hardware)."""
+    oct_ = (
+        (nrm[:, 0] > 0).astype(jnp.uint32) * 4
+        + (nrm[:, 1] > 0).astype(jnp.uint32) * 2
+        + (nrm[:, 2] > 0).astype(jnp.uint32)
+    )
+    rel = (pos - lo) * inv_extent
+    qp = jnp.clip((rel * 16).astype(jnp.uint32), 0, 15)  # [R, 3], 4 bits
+    morton = jnp.zeros_like(oct_)
+    for bit in range(3, -1, -1):  # msb first
+        for ax in range(3):
+            morton = morton * 2 + ((qp[:, ax] >> bit) & 1)
+    return morton * 8 + oct_
+
+
 def sort_live_first(mask: jnp.ndarray, key: jnp.ndarray):
     """Permutation packing live lanes first, ordered by ``key`` (stable).
 

@@ -77,6 +77,7 @@ from pnraytracing_tpu.ops.sampling import (
 )
 from pnraytracing_tpu.ops.compaction import (
     coherence_key,
+    coherence_key_pos,
     compact_indices,
     sort_live_first,
 )
@@ -665,8 +666,10 @@ def _render_rays(
                     root = scene.trav.nodes8[0]
                     lo_b, hi_b = root[0:3], root[3:6]
                     inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
+                    key_fn = (coherence_key_pos if cfg.sort_key == "pos"
+                              else coherence_key)
                     perm, _ = sort_live_first(
-                        active, coherence_key(nrm, pos, lo_b, inv_ext)
+                        active, key_fn(nrm, pos, lo_b, inv_ext)
                     )
                 else:
                     perm, _ = compact_indices(active)
