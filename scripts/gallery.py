@@ -42,7 +42,9 @@ def main() -> int:
     from scripts.render import build_scene
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = RenderConfig(width=args.size, height=args.size, max_depth=args.depth)
+    trav = "pallas" if jax.default_backend() == "tpu" else "packed"
+    cfg = RenderConfig(width=args.size, height=args.size,
+                       max_depth=args.depth, traversal=trav)
     for name in args.scenes.split(","):
         t0 = time.perf_counter()
         scene, cam_state = build_scene(name, 1.0)
