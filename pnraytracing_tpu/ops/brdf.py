@@ -28,16 +28,21 @@ from pnraytracing_tpu.core.math import (
     INV_PI,
     PI,
     TWO_PI,
-    dot,
     mix,
-    normalize,
-    reflect,
     safe_sqrt,
     sqr,
-    tangent_to_world,
 )
 from pnraytracing_tpu.core.types import Materials
-from pnraytracing_tpu.ops.sampling import sample_cosine_hemisphere_local
+from pnraytracing_tpu.core.vec import (
+    V3,
+    tangent_to_world_v,
+    vdot,
+    vluminance,
+    vmix,
+    vnormalize,
+    vreflect,
+    vwhere,
+)
 
 _EPS = 1e-10
 
@@ -92,32 +97,35 @@ def apply_compat_material_decode(m: Materials) -> Materials:
     return m.replace(clearcoat_gloss=m.sheen, ior=m.sheen_tint, transmission=m.clearcoat)
 
 
-def disney_eval(
-    v: jnp.ndarray,
-    n: jnp.ndarray,
-    l: jnp.ndarray,
-    x: jnp.ndarray,
-    y: jnp.ndarray,
+def disney_eval_v(
+    v: "V3",
+    n: "V3",
+    l: "V3",
+    x: "V3",
+    y: "V3",
     m: Materials,
-) -> jnp.ndarray:
-    """f(V, L) — DisneyBRDF (ray_tracing.comp:788-849).  All directions
-    [R, 3] unit, world space; x/y are the shading tangent/bitangent."""
-    ndotl = dot(n, l)
-    ndotv = dot(n, v)
+    cdlin: "V3",
+) -> "V3":
+    """f(V, L) — DisneyBRDF (ray_tracing.comp:788-849) in the
+    component-array layout (core/vec.py).  ``m`` carries [R] scalar
+    parameter leaves; ``cdlin`` is the (possibly texture-overridden)
+    base color.  This is the primary implementation; the [R, 3] form
+    below wraps it."""
+    ndotl = vdot(n, l)
+    ndotv = vdot(n, v)
     valid = (ndotl >= 0) & (ndotv >= 0)
 
-    h = normalize(l + v)
-    ndoth = dot(n, h)
-    ldoth = dot(l, h)
+    h = vnormalize(l + v)
+    ndoth = vdot(n, h)
+    ldoth = vdot(l, h)
 
-    cdlin = m.base_color
-    cdlum = 0.3 * cdlin[..., 0] + 0.6 * cdlin[..., 1] + 0.1 * cdlin[..., 2]
-    ctint = jnp.where(
-        cdlum[..., None] > 0, cdlin / jnp.maximum(cdlum[..., None], _EPS), 1.0
-    )
-    cspec = m.specular[..., None] * mix(1.0, ctint, m.specular_tint[..., None])
-    cspec0 = mix(0.08 * cspec, cdlin, m.metallic[..., None])
-    csheen = mix(1.0, ctint, m.sheen_tint[..., None])
+    cdlum = vluminance(cdlin)
+    safe_lum = jnp.maximum(cdlum, _EPS)
+    one = V3.fill((1.0, 1.0, 1.0))
+    ctint = vwhere(cdlum > 0, cdlin / safe_lum, one * jnp.ones_like(cdlum))
+    cspec = vmix(one * jnp.ones_like(cdlum), ctint, m.specular_tint) * m.specular
+    cspec0 = vmix(cspec * 0.08, cdlin, m.metallic)
+    csheen = vmix(one * jnp.ones_like(cdlum), ctint, m.sheen_tint)
 
     # diffuse retro-reflection
     fd90 = 0.5 + 2.0 * sqr(ldoth) * m.roughness
@@ -134,25 +142,42 @@ def disney_eval(
     aspect = safe_sqrt(1.0 - m.anisotropic * 0.9)
     ax = jnp.maximum(0.001, sqr(m.roughness) / jnp.maximum(aspect, _EPS))
     ay = jnp.maximum(0.001, sqr(m.roughness) * aspect)
-    ds = gtr2_aniso(ndoth, dot(h, x), dot(h, y), ax, ay)
+    ds = gtr2_aniso(ndoth, vdot(h, x), vdot(h, y), ax, ay)
     fh = schlick_fresnel(ldoth)
-    fs = mix(cspec0, 1.0, fh[..., None])
-    gs = smith_g_ggx_aniso(ndotl, dot(l, x), dot(l, y), ax, ay)
-    gs = gs * smith_g_ggx_aniso(ndotv, dot(v, x), dot(v, y), ax, ay)
+    fs = vmix(cspec0, one * jnp.ones_like(fh), fh)
+    gs = smith_g_ggx_aniso(ndotl, vdot(l, x), vdot(l, y), ax, ay)
+    gs = gs * smith_g_ggx_aniso(ndotv, vdot(v, x), vdot(v, y), ax, ay)
 
     # clearcoat
     dr = gtr1(ndoth, clearcoat_alpha(m))
     fr = mix(0.04, 1.0, fh)
     gr = smith_g_ggx(ndotl, 0.25) * smith_g_ggx(ndotv, 0.25)
 
-    fsheen = fh[..., None] * m.sheen[..., None] * csheen
+    fsheen = csheen * (fh * m.sheen)
 
-    diffuse = INV_PI * mix(fd, ss, m.subsurface)[..., None] * cdlin + fsheen
-    specular = (gs * ds)[..., None] * fs
-    clearcoat = (0.25 * gr * fr * dr * m.clearcoat)[..., None]
+    diffuse = cdlin * (INV_PI * mix(fd, ss, m.subsurface)) + fsheen
+    specular = fs * (gs * ds)
+    clearcoat = one * (0.25 * gr * fr * dr * m.clearcoat)
 
-    out = diffuse * (1.0 - m.metallic[..., None]) + specular + clearcoat
-    return jnp.where(valid[..., None], out, 0.0)
+    out = diffuse * (1.0 - m.metallic) + specular + clearcoat
+    zero = jnp.zeros_like(ndotl)
+    return vwhere(valid, out, V3(zero, zero, zero))
+
+
+def disney_eval(
+    v: jnp.ndarray,
+    n: jnp.ndarray,
+    l: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    m: Materials,
+) -> jnp.ndarray:
+    """[R, 3] wrapper over :func:`disney_eval_v` (oracle/back-compat)."""
+    out = disney_eval_v(
+        V3.of(v), V3.of(n), V3.of(l), V3.of(x), V3.of(y), m,
+        V3.of(m.base_color),
+    )
+    return out.rows()
 
 
 def lobe_probs(m: Materials):
@@ -164,22 +189,22 @@ def lobe_probs(m: Materials):
     return r_diffuse * inv, r_specular * inv, r_clearcoat * inv
 
 
-def disney_pdf(
-    v: jnp.ndarray,
-    n: jnp.ndarray,
-    l: jnp.ndarray,
+def disney_pdf_v(
+    v: "V3",
+    n: "V3",
+    l: "V3",
     m: Materials,
     compat: bool = False,
 ) -> jnp.ndarray:
-    """Combined lobe pdf of direction l (comp:710-738)."""
+    """Combined lobe pdf of direction l (comp:710-738), component form."""
     p_diff, p_spec, p_cc = lobe_probs(m)
     a_gtr1 = clearcoat_alpha(m)
     a_gtr2 = specular_alpha(m)
 
-    h = normalize(l + v)
-    ldoth = dot(l, h)
-    ndoth = dot(n, h)
-    ndotl = dot(n, l)
+    h = vnormalize(l + v)
+    ldoth = vdot(l, h)
+    ndoth = vdot(n, h)
+    ndotl = vdot(n, l)
 
     pdf_diffuse = ndotl * INV_PI
     denom = 4.0 * ldoth
@@ -193,7 +218,18 @@ def disney_pdf(
     return pdf
 
 
-def _sample_h_local(r1, r2, cos_theta_h, compat: bool):
+def disney_pdf(
+    v: jnp.ndarray,
+    n: jnp.ndarray,
+    l: jnp.ndarray,
+    m: Materials,
+    compat: bool = False,
+) -> jnp.ndarray:
+    """[R, 3] wrapper over :func:`disney_pdf_v`."""
+    return disney_pdf_v(V3.of(v), V3.of(n), V3.of(l), m, compat=compat)
+
+
+def _sample_h_local_v(r1, r2, cos_theta_h, compat: bool) -> "V3":
     """Shared half-vector construction for GTR lobes (comp:688-692)."""
     phi_h = TWO_PI * r1
     if compat:
@@ -204,26 +240,95 @@ def _sample_h_local(r1, r2, cos_theta_h, compat: bool):
         sin_theta_h = safe_sqrt(1.0 - sqr(cos_theta_h))
         sin_phi_h = jnp.sin(phi_h)
         cos_phi_h = jnp.cos(phi_h)
-    return jnp.stack(
-        [sin_theta_h * cos_phi_h, sin_theta_h * sin_phi_h, cos_theta_h], axis=-1
-    )
+    return V3(sin_theta_h * cos_phi_h, sin_theta_h * sin_phi_h, cos_theta_h)
 
 
-def sample_gtr2_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
+def sample_gtr2_dir_v(n, t, b, v, r1, r2, alpha, compat: bool = False):
     """Specular lobe direction (SampleGTR2, comp:687-695)."""
-    cos_theta_h = safe_sqrt((1.0 - r2) / jnp.maximum(1.0 + (sqr(alpha) - 1.0) * r2, _EPS))
-    h = tangent_to_world(t, b, n, _sample_h_local(r1, r2, cos_theta_h, compat))
-    return reflect(v, h)
+    cos_theta_h = safe_sqrt(
+        (1.0 - r2) / jnp.maximum(1.0 + (sqr(alpha) - 1.0) * r2, _EPS)
+    )
+    h = tangent_to_world_v(t, b, n, _sample_h_local_v(r1, r2, cos_theta_h, compat))
+    return vreflect(v, h)
 
 
-def sample_gtr1_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
+def sample_gtr1_dir_v(n, t, b, v, r1, r2, alpha, compat: bool = False):
     """Clearcoat lobe direction (SampleGTR1, comp:698-707)."""
     a2 = sqr(alpha)
     cos_theta_h = safe_sqrt(
         (1.0 - jnp.power(a2, 1.0 - r2)) / jnp.maximum(1.0 - a2, _EPS)
     )
-    h = tangent_to_world(t, b, n, _sample_h_local(r1, r2, cos_theta_h, compat))
-    return reflect(v, h)
+    h = tangent_to_world_v(t, b, n, _sample_h_local_v(r1, r2, cos_theta_h, compat))
+    return vreflect(v, h)
+
+
+def sample_gtr2_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
+    return sample_gtr2_dir_v(
+        V3.of(n), V3.of(t), V3.of(b), V3.of(v), r1, r2, alpha, compat
+    ).rows()
+
+
+def sample_gtr1_dir(n, t, b, v, r1, r2, alpha, compat: bool = False):
+    return sample_gtr1_dir_v(
+        V3.of(n), V3.of(t), V3.of(b), V3.of(v), r1, r2, alpha, compat
+    ).rows()
+
+
+def sample_cosine_hemisphere_local_v(u1, u2, compat: bool = False) -> "V3":
+    """Component twin of ops/sampling.py::sample_cosine_hemisphere_local
+    (SampleCosineHemisphere, comp:642-647)."""
+    if compat:
+        theta = u1
+        rr = u2
+        x = rr * jnp.sin(theta)
+        y = rr * jnp.cos(theta)
+    else:
+        rr = safe_sqrt(u1)
+        phi = TWO_PI * u2
+        x = rr * jnp.cos(phi)
+        y = rr * jnp.sin(phi)
+    z = safe_sqrt(1.0 - x * x - y * y)
+    return V3(x, y, z)
+
+
+def disney_sample_v(
+    v: "V3",
+    n: "V3",
+    t: "V3",
+    b: "V3",
+    m: Materials,
+    r_lobe: jnp.ndarray,
+    r1: jnp.ndarray,
+    r2: jnp.ndarray,
+    u_diff1: jnp.ndarray,
+    u_diff2: jnp.ndarray,
+    compat: bool = False,
+):
+    """Sample an outgoing direction and its pdf (SampleDisneyBRDF,
+    comp:742-786), component form.
+
+    r_lobe selects among {diffuse, specular, clearcoat}; (r1, r2) drive the
+    GTR half-vector lobes (the reference feeds these from Sobol,
+    comp:928-932); (u_diff1, u_diff2) drive the diffuse hemisphere sample
+    (the reference draws fresh wang-hash randoms inside
+    SampleCosineHemisphere, comp:643).
+    """
+    p_diff, p_spec, _ = lobe_probs(m)
+    a_gtr1 = clearcoat_alpha(m)
+    a_gtr2 = specular_alpha(m)
+
+    l_diff = tangent_to_world_v(
+        t, b, n, sample_cosine_hemisphere_local_v(u_diff1, u_diff2, compat=compat)
+    )
+    l_spec = sample_gtr2_dir_v(n, t, b, v, r1, r2, a_gtr2, compat=compat)
+    l_cc = sample_gtr1_dir_v(n, t, b, v, r1, r2, a_gtr1, compat=compat)
+
+    take_diff = r_lobe <= p_diff
+    take_spec = (~take_diff) & (r_lobe <= p_diff + p_spec)
+    l = vwhere(take_diff, l_diff, vwhere(take_spec, l_spec, l_cc))
+    pdf = disney_pdf_v(v, n, l, m, compat=compat)
+    lobe = jnp.where(take_diff, 0, jnp.where(take_spec, 1, 2)).astype(jnp.int32)
+    return l, pdf, lobe
 
 
 def disney_sample(
@@ -239,32 +344,9 @@ def disney_sample(
     u_diff2: jnp.ndarray,
     compat: bool = False,
 ):
-    """Sample an outgoing direction and its pdf (SampleDisneyBRDF,
-    comp:742-786).
-
-    r_lobe selects among {diffuse, specular, clearcoat}; (r1, r2) drive the
-    GTR half-vector lobes (the reference feeds these from Sobol,
-    comp:928-932); (u_diff1, u_diff2) drive the diffuse hemisphere sample
-    (the reference draws fresh wang-hash randoms inside
-    SampleCosineHemisphere, comp:643).
-    """
-    p_diff, p_spec, _ = lobe_probs(m)
-    a_gtr1 = clearcoat_alpha(m)
-    a_gtr2 = specular_alpha(m)
-
-    l_diff = tangent_to_world(
-        t, b, n, sample_cosine_hemisphere_local(u_diff1, u_diff2, compat=compat)
+    """[R, 3] wrapper over :func:`disney_sample_v`."""
+    l, pdf, lobe = disney_sample_v(
+        V3.of(v), V3.of(n), V3.of(t), V3.of(b), m,
+        r_lobe, r1, r2, u_diff1, u_diff2, compat=compat,
     )
-    l_spec = sample_gtr2_dir(n, t, b, v, r1, r2, a_gtr2, compat=compat)
-    l_cc = sample_gtr1_dir(n, t, b, v, r1, r2, a_gtr1, compat=compat)
-
-    take_diff = r_lobe <= p_diff
-    take_spec = (~take_diff) & (r_lobe <= p_diff + p_spec)
-    l = jnp.where(
-        take_diff[..., None],
-        l_diff,
-        jnp.where(take_spec[..., None], l_spec, l_cc),
-    )
-    pdf = disney_pdf(v, n, l, m, compat=compat)
-    lobe = jnp.where(take_diff, 0, jnp.where(take_spec, 1, 2)).astype(jnp.int32)
-    return l, pdf, lobe
+    return l.rows(), pdf, lobe
