@@ -47,16 +47,40 @@ from pnraytracing_tpu.ops.intersect import (
 )
 
 # The flat scene array must fit Mosaic's scalar memory alongside stacks
-# and control state.  Measured headroom on v5e: a 512 KB prefetch array
-# compiles and runs; scenes beyond the budget should use
-# ``traversal="packet"`` (accel/traverse_packet.py) instead.
-SMEM_SCENE_BUDGET_BYTES = 8 << 20  # optimistic cap; probed at runtime
+# and control state.  Measured on the v5e (scripts/probe_smem_limit.py +
+# the config4 compile error): SMEM is exactly 1 MB; leave headroom for
+# the stack scratch and control state.
+SMEM_SCENE_BUDGET_BYTES = (1 << 20) - (16 << 10)
 
 
-def scene_fits_smem(trav: TravData) -> bool:
-    n_nodes = trav.nodes8.shape[0]
-    n_tris = trav.tri9.shape[0]
-    return 4 * (8 * n_nodes + 9 * n_tris) <= SMEM_SCENE_BUDGET_BYTES
+def _scene_bytes(trav: TravData, variant: str) -> int:
+    n_nodes = int(trav.nodes8.shape[0])
+    n_tris = int(trav.tri9.shape[0])
+    per_node = 16 if variant == "wide" else 8
+    return 4 * (per_node * n_nodes + 9 * n_tris)
+
+
+def scene_fits_smem(trav: TravData, variant: str = "binary") -> bool:
+    return _scene_bytes(trav, variant) <= SMEM_SCENE_BUDGET_BYTES
+
+
+def pick_variant(trav: TravData, requested: str = "wide") -> str:
+    """Largest-win kernel variant that fits SMEM: wide (16-float rows,
+    ~2x fewer iterations) when it fits, else binary (8-float rows);
+    raises if even binary exceeds the budget (callers should fall back
+    to ``traversal='packet'`` — config5-class scenes need the planned
+    brick-streaming kernel)."""
+    if requested == "wide" and trav.nodes16 is not None and scene_fits_smem(
+        trav, "wide"
+    ):
+        return "wide"
+    if not scene_fits_smem(trav, "binary"):
+        raise ValueError(
+            f"scene ({_scene_bytes(trav, 'binary')} B packed) exceeds the "
+            f"Mosaic SMEM budget ({SMEM_SCENE_BUDGET_BYTES} B); use "
+            "traversal='packet'"
+        )
+    return "binary"
 
 
 def _node_scalars(scene_ref, node):
@@ -468,12 +492,22 @@ def _any_kernel_wide(
     iters_ref[tile, 0] = iters
 
 
+def _ray_comps(v):
+    """Accept either an [R, 3] array or a V3 (core/vec.py — the
+    integrator's native layout; avoids any [R, 3] materialization)."""
+    if hasattr(v, "x"):
+        return v.x, v.y, v.z
+    return v[:, 0], v[:, 1], v[:, 2]
+
+
 def _pack_inputs(trav, o, d, t_max, mask, tile_size):
     """Reshape rays into [n_tiles, 8, sub, 128] component tiles (+
     per-tile mean-direction signs).  The SMEM scene array is built
     separately by :func:`_scene_flat` (layout depends on the variant)."""
     del trav
-    r = o.shape[0]
+    ox, oy, oz = _ray_comps(o)
+    dx, dy, dz = _ray_comps(d)
+    r = ox.shape[0]
     tile = tile_size if tile_size else max(r, 128)
     tile = max(128, (tile // 128) * 128)
     sub = tile // 128
@@ -481,27 +515,28 @@ def _pack_inputs(trav, o, d, t_max, mask, tile_size):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     act = mask if mask is not None else jnp.ones((r,), bool)
     if pad:
-        o = jnp.pad(o, ((0, pad), (0, 0)))
-        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
-        t_max = jnp.pad(t_max, (0, pad))
+        zpad = lambda a: jnp.pad(a, (0, pad))
+        ox, oy, oz = zpad(ox), zpad(oy), zpad(oz)
+        dx = jnp.pad(dx, (0, pad), constant_values=1.0)
+        dy = jnp.pad(dy, (0, pad), constant_values=1.0)
+        dz = jnp.pad(dz, (0, pad), constant_values=1.0)
+        t_max = zpad(t_max)
         act = jnp.pad(act, (0, pad))
     n_tiles = (r + pad) // tile
 
     comps = jnp.stack(
-        [
-            o[:, 0], o[:, 1], o[:, 2],
-            d[:, 0], d[:, 1], d[:, 2],
-            t_max,
-            act.astype(jnp.float32),
-        ],
+        [ox, oy, oz, dx, dy, dz, t_max, act.astype(jnp.float32)],
         axis=0,
     )  # [8, R_pad]
     rays = comps.reshape(8, n_tiles, sub, 128).transpose(1, 0, 2, 3)
 
     # near/far order per tile from the mean direction sign (same policy
     # as traverse_packet.py's per-tile dsum)
-    dsum = d.reshape(n_tiles, tile, 3).sum(axis=1)
-    dsign = jnp.where(dsum < 0, -1, 1).astype(jnp.int32).reshape(-1)
+    dsign = jnp.stack(
+        [c.reshape(n_tiles, tile).sum(axis=1) for c in (dx, dy, dz)],
+        axis=1,
+    )
+    dsign = jnp.where(dsign < 0, -1, 1).astype(jnp.int32).reshape(-1)
     return None, dsign, rays, n_tiles, sub, pad
 
 
@@ -525,7 +560,7 @@ def _call_kernel(
     kernel, n_outs, trav, o, d, t_max, mask, *,
     stack_depth, tile_size, interpret, variant,
 ):
-    r = o.shape[0]
+    r = _ray_comps(o)[0].shape[0]
     _, dsign, rays, n_tiles, sub, pad = _pack_inputs(
         trav, o, d, t_max, mask, tile_size
     )
@@ -594,8 +629,7 @@ def closest_hit_pallas(
     del chunk
     n_nodes = int(trav.nodes8.shape[0])
     n_tris = int(trav.tri9.shape[0])
-    if variant == "wide" and trav.nodes16 is None:
-        variant = "binary"
+    variant = pick_variant(trav, variant)
     kfn = _closest_kernel_wide if variant == "wide" else _closest_kernel
     kernel = functools.partial(kfn, n_nodes, n_tris, max_leaf_size, compat)
     (t, tri, b1, b2, iters), r = _call_kernel(
@@ -640,8 +674,7 @@ def any_hit_pallas(
     del chunk
     n_nodes = int(trav.nodes8.shape[0])
     n_tris = int(trav.tri9.shape[0])
-    if variant == "wide" and trav.nodes16 is None:
-        variant = "binary"
+    variant = pick_variant(trav, variant)
     kfn = _any_kernel_wide if variant == "wide" else _any_kernel
     kernel = functools.partial(kfn, n_nodes, n_tris, max_leaf_size, compat)
     (occ, iters), r = _call_kernel(

@@ -115,6 +115,46 @@ class Materials:
             clearcoat_gloss=s[9], ior=s[10], transmission=s[11],
         )
 
+    def gather_components(self, idx: jnp.ndarray):
+        """Component-layout per-ray material fetch: ``(scalars, base V3,
+        emissive V3)`` where ``scalars`` is a Materials whose 12 scalar
+        parameters are [R] arrays (color fields are zeroed [R]
+        placeholders — the V3s carry them).
+
+        Small palettes use an M-way compare-select chain per field —
+        zero gathers AND zero [R, M]/[R, 18] materializations, which the
+        one-hot matmul of :meth:`gather` pays through TPU lane padding
+        (BASELINE.md round 3).  Large palettes fall back to the packed
+        row gather."""
+        from pnraytracing_tpu.core.vec import V3, select_small
+
+        m = self.metallic.shape[0]
+        if m <= 16:
+            sel = lambda t: select_small(t, idx)
+            sel3 = lambda t: V3(sel(t[:, 0]), sel(t[:, 1]), sel(t[:, 2]))
+            # color fields live in the returned V3s; the struct slots get
+            # [R] placeholders that no component-path code reads
+            zero = jnp.zeros(idx.shape, jnp.float32)
+            scalars = Materials(
+                emissive=zero,
+                base_color=zero,
+                subsurface=sel(self.subsurface),
+                metallic=sel(self.metallic),
+                specular=sel(self.specular),
+                specular_tint=sel(self.specular_tint),
+                roughness=sel(self.roughness),
+                anisotropic=sel(self.anisotropic),
+                sheen=sel(self.sheen),
+                sheen_tint=sel(self.sheen_tint),
+                clearcoat=sel(self.clearcoat),
+                clearcoat_gloss=sel(self.clearcoat_gloss),
+                ior=sel(self.ior),
+                transmission=sel(self.transmission),
+            )
+            return scalars, sel3(self.base_color), sel3(self.emissive)
+        g = self.gather(idx)
+        return g, V3.of(g.base_color), V3.of(g.emissive)
+
     def sanitized(self) -> "Materials":
         """Clamp every parameter to its physical domain (the range the
         reference's ImGui sliders enforce, ImGuiLayer.hpp:60-71).  Applied

@@ -99,6 +99,15 @@ class V3:
         return V3(fn(self.x), fn(self.y), fn(self.z))
 
 
+def select_small(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """[M] table fetch by [R] ids via an M-way compare-select chain —
+    zero gathers, zero one-hot materialization (M is a handful)."""
+    out = jnp.broadcast_to(table[0], idx.shape)
+    for k in range(1, int(table.shape[0])):
+        out = jnp.where(idx == k, table[k], out)
+    return out
+
+
 # ---- free functions (mirror core/math.py) -------------------------------
 
 def vdot(a: V3, b: V3) -> jnp.ndarray:

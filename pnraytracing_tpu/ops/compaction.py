@@ -60,20 +60,29 @@ def coherence_key(nrm: jnp.ndarray, pos: jnp.ndarray,
     2 bits per axis of quantized |n|, 2 bits per axis of the position cell
     within the scene bounds — 15 bits total.
     """
+    nx, ny, nz = _components(nrm)
+    px_, py_, pz_ = _components(pos)
     oct_ = (
-        (nrm[:, 0] > 0).astype(jnp.uint32) * 4
-        + (nrm[:, 1] > 0).astype(jnp.uint32) * 2
-        + (nrm[:, 2] > 0).astype(jnp.uint32)
+        (nx > 0).astype(jnp.uint32) * 4
+        + (ny > 0).astype(jnp.uint32) * 2
+        + (nz > 0).astype(jnp.uint32)
     )
-    qn = jnp.clip((jnp.abs(nrm) * 4).astype(jnp.uint32), 0, 3)
-    rel = (pos - lo) * inv_extent
-    qp = jnp.clip((rel * 4).astype(jnp.uint32), 0, 3)
     key = oct_
-    for i in range(3):
-        key = key * 4 + qn[:, i]
-    for i in range(3):
-        key = key * 4 + qp[:, i]
+    for i, nc in enumerate((nx, ny, nz)):
+        qn = jnp.clip((jnp.abs(nc) * 4).astype(jnp.uint32), 0, 3)
+        key = key * 4 + qn
+    for i, pc in enumerate((px_, py_, pz_)):
+        rel = (pc - lo[i]) * inv_extent[i]
+        qp = jnp.clip((rel * 4).astype(jnp.uint32), 0, 3)
+        key = key * 4 + qp
     return key
+
+
+def _components(v):
+    """Accept either a trailing-axis-3 array or a V3 (core/vec.py)."""
+    if hasattr(v, "x"):
+        return v.x, v.y, v.z
+    return v[:, 0], v[:, 1], v[:, 2]
 
 
 def coherence_key_pos(nrm: jnp.ndarray, pos: jnp.ndarray,
@@ -86,17 +95,22 @@ def coherence_key_pos(nrm: jnp.ndarray, pos: jnp.ndarray,
     nodes the tile's rays touch; rays leaving the same region share the
     near subtrees regardless of direction, so position-major grouping can
     tighten the union more than direction-major (A/B'd on hardware)."""
+    nx, ny, nz = _components(nrm)
+    pc = _components(pos)
     oct_ = (
-        (nrm[:, 0] > 0).astype(jnp.uint32) * 4
-        + (nrm[:, 1] > 0).astype(jnp.uint32) * 2
-        + (nrm[:, 2] > 0).astype(jnp.uint32)
+        (nx > 0).astype(jnp.uint32) * 4
+        + (ny > 0).astype(jnp.uint32) * 2
+        + (nz > 0).astype(jnp.uint32)
     )
-    rel = (pos - lo) * inv_extent
-    qp = jnp.clip((rel * 16).astype(jnp.uint32), 0, 15)  # [R, 3], 4 bits
+    qp = [
+        jnp.clip(((pc[i] - lo[i]) * inv_extent[i] * 16).astype(jnp.uint32),
+                 0, 15)
+        for i in range(3)
+    ]
     morton = jnp.zeros_like(oct_)
     for bit in range(3, -1, -1):  # msb first
         for ax in range(3):
-            morton = morton * 2 + ((qp[:, ax] >> bit) & 1)
+            morton = morton * 2 + ((qp[ax] >> bit) & 1)
     return morton * 8 + oct_
 
 

@@ -298,3 +298,66 @@ def envmap_lookup(env: EnvMap, dirs: jnp.ndarray) -> jnp.ndarray:
     if env.quad12 is not None:
         return bilinear_lookup_quads(env.quad12, uv[..., 0], uv[..., 1])
     return bilinear_lookup(env.image, uv[..., 0], uv[..., 1])
+
+
+# ---- component-layout (V3) forms ----------------------------------------
+# The per-ray [R, 3] layout lane-pads to [R, 128] on TPU (BASELINE.md
+# round 3); these twins keep directions/colors as component arrays.  The
+# one unavoidable random access is the quad/alias row gather.
+
+def bilinear_lookup_quads_v(quad12: jnp.ndarray, u, v) -> "V3":
+    from pnraytracing_tpu.core.vec import V3
+
+    h, w = quad12.shape[0], quad12.shape[1]
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    q = quad12.reshape(h * w, 12)[y0i * w + x0i]
+
+    def lerp2(c00, c10, c01, c11):
+        top = c00 * (1 - tx) + c10 * tx
+        bot = c01 * (1 - tx) + c11 * tx
+        return top * (1 - ty) + bot * ty
+
+    return V3(
+        lerp2(q[..., 0], q[..., 3], q[..., 6], q[..., 9]),
+        lerp2(q[..., 1], q[..., 4], q[..., 7], q[..., 10]),
+        lerp2(q[..., 2], q[..., 5], q[..., 8], q[..., 11]),
+    )
+
+
+def envmap_lookup_v(env: EnvMap, dirs: "V3") -> "V3":
+    """Component twin of :func:`envmap_lookup`."""
+    from pnraytracing_tpu.core.vec import V3, spherical_uv_v
+
+    u, v = spherical_uv_v(dirs)
+    if env.quad12 is not None:
+        return bilinear_lookup_quads_v(env.quad12, u, v)
+    out = bilinear_lookup(env.image, u, v)
+    return V3.of(out)
+
+
+def sample_envmap_v(env: EnvMap, u1, u2, compat: bool = False):
+    """Component twin of :func:`sample_envmap`:
+    returns (dir V3, radiance V3, pdf [R])."""
+    from pnraytracing_tpu.core.vec import V3
+
+    d, radiance, pdf = sample_envmap(env, u1, u2, compat=compat)
+    return V3.of(d), V3.of(radiance), pdf
+
+
+def envmap_pdf_v(env: EnvMap, dirs: "V3") -> jnp.ndarray:
+    from pnraytracing_tpu.core.vec import spherical_uv_v
+
+    w, h = env.width, env.height
+    u, v = spherical_uv_v(dirs)
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    theta = PI * (0.5 - v)
+    cos_theta = jnp.maximum(jnp.cos(theta), _POLE_EPS)
+    return env.pdf_xy[x, y] * (w * h) / (2.0 * PI * PI * cos_theta)

@@ -49,23 +49,29 @@ from pnraytracing_tpu.accel.traverse_packet import (
 )
 from pnraytracing_tpu.accel.traverse_wide import any_hit_wide, closest_hit_wide
 from pnraytracing_tpu.core.config import RenderConfig
-from pnraytracing_tpu.core.math import (
-    FLOAT_MAX,
-    SHADOW_EPS,
-    build_tangent_space,
-    cross,
-    dot,
-    normalize,
-)
+from pnraytracing_tpu.core.math import FLOAT_MAX, SHADOW_EPS
 from pnraytracing_tpu.core.types import Scene, TriangleMesh
+from pnraytracing_tpu.core.vec import (
+    V3,
+    build_tangent_space_v,
+    select_small,
+    vdot,
+    vcross,
+    vnormalize,
+    vwhere,
+)
 from pnraytracing_tpu.ops.brdf import (
     apply_compat_material_decode,
-    disney_eval,
-    disney_pdf,
-    disney_sample,
+    disney_eval_v,
+    disney_pdf_v,
+    disney_sample_v,
 )
-from pnraytracing_tpu.ops.envmap import envmap_lookup, envmap_pdf, sample_envmap
-from pnraytracing_tpu.ops.intersect import Hit, intersect_triangle
+from pnraytracing_tpu.ops.envmap import (
+    envmap_lookup_v,
+    envmap_pdf_v,
+    sample_envmap_v,
+)
+from pnraytracing_tpu.ops.intersect import Hit, intersect_triangle_c
 from pnraytracing_tpu.ops.sampling import (
     cranley_patterson_rotation,
     pick_light,
@@ -144,8 +150,8 @@ def pack_interaction_rows(mesh: TriangleMesh) -> jnp.ndarray:
 def make_interaction(
     mesh: TriangleMesh,
     hit: Hit,
-    ray_d: jnp.ndarray,
-    ray_o: jnp.ndarray | None = None,
+    ray_d: "V3",
+    ray_o: "V3 | None" = None,
     rows: jnp.ndarray | None = None,
 ):
     """Differentiable surface attributes from (tri, barycentrics) — the
@@ -159,90 +165,109 @@ def make_interaction(
     w.r.t. ``mesh.positions`` and the ray become exact.
 
     ``rows`` (from :func:`pack_interaction_rows`) collapses the per-ray
-    fetch into one row-gather.
+    fetch into one row-gather.  Component layout throughout (core/vec.py):
+    returns (pos V3, nrm V3, (u, v), mat_id, tex_id).
     """
     tri = jnp.maximum(hit.tri, 0)
     if rows is not None:
-        r = rows[tri]  # [R, 26] — single gather
-        p = r[:, 0:9].reshape(-1, 3, 3)
-        n = r[:, 9:18].reshape(-1, 3, 3)
-        uv = r[:, 18:24].reshape(-1, 3, 2)
-        mat_id = r[:, 24].astype(jnp.int32)
-        tex_id = r[:, 25].astype(jnp.int32)
+        rr = rows[tri]  # [R, 26] — single gather
+        col = lambda k: rr[:, k]
     else:
         idx = mesh.indices[tri]  # [R, 3]
-        p = mesh.positions[idx]  # [R, 3, 3]
-        n = mesh.normals[idx]
-        uv = mesh.uvs[idx]
-        mat_id = mesh.material_id[tri]
-        tex_id = mesh.texture_id[tri]
+        p9 = mesh.positions[idx].reshape(-1, 9)
+        n9 = mesh.normals[idx].reshape(-1, 9)
+        uv6 = mesh.uvs[idx].reshape(-1, 6)
+
+        def col(k):
+            if k < 9:
+                return p9[:, k]
+            if k < 18:
+                return n9[:, k - 9]
+            if k < 24:
+                return uv6[:, k - 18]
+            if k == 24:
+                return mesh.material_id[tri].astype(jnp.float32)
+            return mesh.texture_id[tri].astype(jnp.float32)
+
+    p0 = V3(col(0), col(1), col(2))
+    p1 = V3(col(3), col(4), col(5))
+    p2 = V3(col(6), col(7), col(8))
+    n0 = V3(col(9), col(10), col(11))
+    n1 = V3(col(12), col(13), col(14))
+    n2 = V3(col(15), col(16), col(17))
+    mat_id = col(24).astype(jnp.int32)
+    tex_id = col(25).astype(jnp.int32)
+
     if ray_o is not None:
-        ok, _, rb1, rb2 = intersect_triangle(
-            p[:, 0], p[:, 1], p[:, 2], ray_o, ray_d,
+        ok, _, rb1, rb2 = intersect_triangle_c(
+            (p0.x, p0.y, p0.z), (p1.x, p1.y, p1.z), (p2.x, p2.y, p2.z),
+            ray_o.x, ray_o.y, ray_o.z, ray_d.x, ray_d.y, ray_d.z,
             jnp.full(tri.shape, FLOAT_MAX, jnp.float32),
         )
-        b1v = jnp.where(ok, rb1, hit.b1)
-        b2v = jnp.where(ok, rb2, hit.b2)
-        b0 = (1.0 - b1v - b2v)[..., None]
-        b1 = b1v[..., None]
-        b2 = b2v[..., None]
+        b1 = jnp.where(ok, rb1, hit.b1)
+        b2 = jnp.where(ok, rb2, hit.b2)
+        b0 = 1.0 - b1 - b2
     else:
-        b0 = hit.b0[..., None]
-        b1 = hit.b1[..., None]
-        b2 = hit.b2[..., None]
-    pos = b0 * p[:, 0] + b1 * p[:, 1] + b2 * p[:, 2]
-    geom_n = normalize(cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]))
-    any_zero = (
-        jnp.all(n[:, 0] == 0, axis=-1)
-        | jnp.all(n[:, 1] == 0, axis=-1)
-        | jnp.all(n[:, 2] == 0, axis=-1)
-    )
-    n_interp = b0 * n[:, 0] + b1 * n[:, 1] + b2 * n[:, 2]
-    nrm = jnp.where(any_zero[..., None], geom_n, n_interp)
+        b0 = hit.b0
+        b1 = hit.b1
+        b2 = hit.b2
+    pos = p0 * b0 + p1 * b1 + p2 * b2
+    geom_n = vnormalize(vcross(p1 - p0, p2 - p0))
+    zero3 = lambda a: (a.x == 0) & (a.y == 0) & (a.z == 0)
+    any_zero = zero3(n0) | zero3(n1) | zero3(n2)
+    n_interp = n0 * b0 + n1 * b1 + n2 * b2
+    nrm = vwhere(any_zero, geom_n, n_interp)
     # backface flip toward the incoming ray (comp:345-348)
-    nrm = jnp.where(dot(nrm, ray_d)[..., None] > 0, -nrm, nrm)
-    nrm = normalize(nrm)
-    uv_hit = b0 * uv[:, 0] + b1 * uv[:, 1] + b2 * uv[:, 2]
-    return pos, nrm, uv_hit, mat_id, tex_id
+    nrm = vwhere(vdot(nrm, ray_d) > 0, -nrm, nrm)
+    nrm = vnormalize(nrm)
+    u_hit = col(18) * b0 + col(20) * b1 + col(22) * b2
+    v_hit = col(19) * b0 + col(21) * b1 + col(23) * b2
+    return pos, nrm, (u_hit, v_hit), mat_id, tex_id
 
 
 def sample_light_point(mesh: TriangleMesh, tri: jnp.ndarray, u1, u2,
                        rows: jnp.ndarray | None = None):
     """Uniform point + normal on light triangles (TriangleSample,
-    comp:604-624).  ``rows`` (pack_interaction_rows) turns the corner
-    fetch into one row-gather."""
+    comp:604-624), component layout.  ``rows`` (pack_interaction_rows)
+    turns the corner fetch into one row-gather.  Returns (pos V3, nrm
+    V3)."""
     b0, b1 = sample_uniform_triangle(u1, u2)
     if rows is not None:
-        r = rows[tri]  # [R, 26]
-        p = r[:, 0:9].reshape(-1, 3, 3)
-        n = r[:, 9:18].reshape(-1, 3, 3)
+        rr = rows[tri]  # [R, 26]
+        col = lambda k: rr[:, k]
     else:
         idx = mesh.indices[tri]
-        p = mesh.positions[idx]
-        n = mesh.normals[idx]
+        p9 = mesh.positions[idx].reshape(-1, 9)
+        n9 = mesh.normals[idx].reshape(-1, 9)
+        col = lambda k: p9[:, k] if k < 9 else n9[:, k - 9]
+    p0 = V3(col(0), col(1), col(2))
+    p1 = V3(col(3), col(4), col(5))
+    p2 = V3(col(6), col(7), col(8))
+    n0 = V3(col(9), col(10), col(11))
+    n1 = V3(col(12), col(13), col(14))
+    n2 = V3(col(15), col(16), col(17))
     b2 = 1.0 - b0 - b1
-    pos = b0[..., None] * p[:, 0] + b1[..., None] * p[:, 1] + b2[..., None] * p[:, 2]
-    geom_n = normalize(cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0]))
-    any_zero = (
-        jnp.all(n[:, 0] == 0, axis=-1)
-        | jnp.all(n[:, 1] == 0, axis=-1)
-        | jnp.all(n[:, 2] == 0, axis=-1)
-    )
-    n_interp = (
-        b0[..., None] * n[:, 0] + b1[..., None] * n[:, 1] + b2[..., None] * n[:, 2]
-    )
-    nrm = normalize(jnp.where(any_zero[..., None], geom_n, n_interp))
+    pos = p0 * b0 + p1 * b1 + p2 * b2
+    geom_n = vnormalize(vcross(p1 - p0, p2 - p0))
+    zero3 = lambda a: (a.x == 0) & (a.y == 0) & (a.z == 0)
+    any_zero = zero3(n0) | zero3(n1) | zero3(n2)
+    n_interp = n0 * b0 + n1 * b1 + n2 * b2
+    nrm = vnormalize(vwhere(any_zero, geom_n, n_interp))
     return pos, nrm
 
 
-def _emissive_of(materials, mat_id: jnp.ndarray) -> jnp.ndarray:
-    """[R, 3] emissive for per-ray material ids — one-hot MXU select for
-    small palettes (0 gathers), row gather otherwise."""
+def _emissive_of(materials, mat_id: jnp.ndarray) -> "V3":
+    """Emissive V3 for per-ray material ids — compare-select chain for
+    small palettes (zero gathers), row gather otherwise."""
     m = materials.emissive.shape[0]
     if m <= 32:
-        oh = jax.nn.one_hot(mat_id, m, dtype=jnp.float32)
-        return oh @ materials.emissive
-    return materials.emissive[mat_id]
+        e = materials.emissive
+        return V3(
+            select_small(e[:, 0], mat_id),
+            select_small(e[:, 1], mat_id),
+            select_small(e[:, 2], mat_id),
+        )
+    return V3.of(materials.emissive[mat_id])
 
 
 def _safe_inv(x: jnp.ndarray) -> jnp.ndarray:
@@ -397,19 +422,43 @@ def _render_rays(
                 any_hit, bvh, mesh, o_, d_, tm_, mask_, **trace_kw
             )
 
+    # The shading path works in the component layout (core/vec.py) —
+    # materialized [R, 3] arrays lane-pad to [R, 128] on TPU (BASELINE.md
+    # round 3).  The Mosaic traversal consumes components natively; the
+    # XLA backends take [R, 3] rows at their boundary.
+    if cfg.traversal == "pallas" and scene.trav is not None:
+        _closest_v, _occluded_v = _closest, _occluded
+    else:
+        def _closest_v(o_, d_, tm_, mask_=None):
+            return _closest(o_.rows(), d_.rows(), tm_, mask_)
+
+        def _occluded_v(o_, d_, tm_, mask_=None):
+            return _occluded(o_.rows(), d_.rows(), tm_, mask_)
+
+    def _vcat(a: V3, b: V3) -> V3:
+        return V3(
+            jnp.concatenate([a.x, b.x]),
+            jnp.concatenate([a.y, b.y]),
+            jnp.concatenate([a.z, b.z]),
+        )
+
     irows = pack_interaction_rows(mesh)
+    o_v = V3.of(o)
+    d_v = V3.of(d)
 
     # ---- primary hit (comp:983) -----------------------------------------
-    hit = records.primary if replay else _closest(o, d, t_max0)
+    hit = records.primary if replay else _closest_v(o_v, d_v, t_max0)
     primary_hit = hit.valid
     rec_primary = hit  # original order: no compaction has happened yet
 
-    def env_radiance(dirs):
+    def env_radiance(dirs: V3) -> V3:
         if has_env:
-            return envmap_lookup(scene.env, dirs)
-        return jnp.broadcast_to(env_const * cfg.env_scale, dirs.shape)
+            return envmap_lookup_v(scene.env, dirs)
+        ones = jnp.ones_like(dirs.x)
+        ec = env_const * cfg.env_scale
+        return V3(ec[0] * ones, ec[1] * ones, ec[2] * ones)
 
-    miss_color = env_radiance(d)
+    miss_color = env_radiance(d_v)
 
     # ---- path loop (comp:861-972) ---------------------------------------
     # One bounce is a pure function of the carried path state.  It is
@@ -420,23 +469,28 @@ def _render_rays(
     arange_r = jnp.arange(r, dtype=jnp.int32)
 
     def bounce_body(carry, bounce, brec):
-        (seed, active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo,
+        (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
          orig, px_l, py_l) = carry
         static_bounce = isinstance(bounce, int)
 
-        mat = materials.gather(mat_id).sanitized()
+        mat_tbl = materials.sanitized()  # clamp per-material ([M] tables)
         if compat:
-            mat = apply_compat_material_decode(mat)
+            mat_tbl = apply_compat_material_decode(mat_tbl)
+        mat, cdlin, _mat_emis = mat_tbl.gather_components(mat_id)
         if has_tex:
-            mat = mat.replace(
-                base_color=fetch_base_color(scene.textures, tex_id, uv, mat.base_color)
-            )
-        t_tan, b_tan = build_tangent_space(nrm)
+            uv2 = jnp.stack([u_uv, v_uv], axis=-1)
+            cdlin = V3.of(fetch_base_color(
+                scene.textures, tex_id, uv2, cdlin.rows()
+            ))
+        t_tan, b_tan = build_tangent_space_v(nrm)
+
+        zero_r = jnp.zeros((r,), jnp.float32)
+        zero_v = V3(zero_r, zero_r, zero_r)
 
         # --- NEE: area-light sample (comp:878-909) ------------------------
         seed, u_light = rand01(seed)
-        l_direct = jnp.zeros((r, 3), jnp.float32)
-        light_pdf = jnp.zeros((r,), jnp.float32)
+        l_direct = zero_v
+        light_pdf = zero_r
         if has_lights:
             slot = pick_light(lights.prefix_area, lights.total_area, u_light)
             light_tri = lights.tri_index[slot]
@@ -449,16 +503,18 @@ def _render_rays(
             s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
 
         # --- NEE: environment sample (comp:911-926) ------------------------
-        l_env = jnp.zeros((r, 3), jnp.float32)
-        env_pdf = jnp.zeros((r,), jnp.float32)
+        l_env = zero_v
+        env_pdf = zero_r
         if has_env:
             seed, r1e = rand01(seed)
             seed, r2e = rand01(seed)
-            en_l, en_li, env_pdf_raw = sample_envmap(scene.env, r1e, r2e, compat=compat)
+            en_l, en_li, env_pdf_raw = sample_envmap_v(
+                scene.env, r1e, r2e, compat=compat
+            )
             # reference offsets the env shadow ray origin by nothing
             # (comp:918); default adds the same normal epsilon as elsewhere.
             e_origin = pos if compat else pos + nrm * 1e-4
-            facing = dot(en_l, nrm) > 0
+            facing = vdot(en_l, nrm) > 0
 
         # --- occlusion queries: replayed, fused (both NEE classes in ONE
         # any-hit batch — identical results, half the traversal dispatches
@@ -472,9 +528,9 @@ def _render_rays(
             if has_env:
                 e_occ = brec[1]
         elif fuse:
-            occ2 = _occluded(
-                jnp.concatenate([s_origin, e_origin]),
-                jnp.concatenate([sdir, en_l]),
+            occ2 = _occluded_v(
+                _vcat(s_origin, e_origin),
+                _vcat(sdir, en_l),
                 jnp.concatenate([s_tmax, t_max0]),
                 jnp.concatenate([active, active & facing]),
             )
@@ -484,42 +540,43 @@ def _render_rays(
                 rec_eocc = rec_eocc.at[orig].set(e_occ)
         else:
             if has_lights:
-                occluded = _occluded(s_origin, sdir, s_tmax, active)
+                occluded = _occluded_v(s_origin, sdir, s_tmax, active)
                 if record:
                     rec_occ = rec_occ.at[orig].set(occluded)
             if has_env:
-                e_occ = _occluded(e_origin, en_l, t_max0, active & facing)
+                e_occ = _occluded_v(e_origin, en_l, t_max0, active & facing)
                 if record:
                     rec_eocc = rec_eocc.at[orig].set(e_occ)
 
         # --- area-light contribution ---------------------------------------
         if has_lights:
-            dis2 = dot(sdir, sdir)
-            lnorm = normalize(sdir)
-            cos_l = jnp.abs(dot(ln, -lnorm))
+            dis2 = vdot(sdir, sdir)
+            lnorm = vnormalize(sdir)
+            cos_l = jnp.abs(vdot(ln, -lnorm))
             raw_pdf = dis2 / jnp.maximum(cos_l * lights.total_area, 1e-12)
             light_pdf = jnp.where(active & ~occluded, raw_pdf, 0.0)
-            li = _emissive_of(
-                materials, irows[light_tri, 24].astype(jnp.int32)
-            )
-            light_f = disney_eval(v_dir, nrm, lnorm, t_tan, b_tan, mat)
-            nl = jnp.abs(dot(nrm, lnorm))
-            l_direct = jnp.where(
-                (active & ~occluded)[..., None],
-                light_f * li * nl[..., None] * _safe_inv(raw_pdf)[..., None],
-                0.0,
+            # material id per LIGHT SLOT ([L] is tiny): one [L]-row gather
+            # once, then an L-way select per ray
+            lmat_tbl = irows[lights.tri_index, 24].astype(jnp.int32)
+            li = _emissive_of(materials, select_small(lmat_tbl, slot))
+            light_f = disney_eval_v(v_dir, nrm, lnorm, t_tan, b_tan, mat,
+                                    cdlin)
+            nl = jnp.abs(vdot(nrm, lnorm))
+            l_direct = vwhere(
+                active & ~occluded,
+                light_f * li * (nl * _safe_inv(raw_pdf)),
+                zero_v,
             )
 
         # --- environment contribution ---------------------------------------
         if has_env:
             env_pdf = jnp.where(active, env_pdf_raw, 0.0)  # pdf always counted
             take = active & facing & ~e_occ
-            env_f = disney_eval(v_dir, nrm, en_l, t_tan, b_tan, mat)
-            l_env = jnp.where(
-                take[..., None],
-                env_f * en_li * dot(en_l, nrm)[..., None]
-                * _safe_inv(env_pdf_raw)[..., None],
-                0.0,
+            env_f = disney_eval_v(v_dir, nrm, en_l, t_tan, b_tan, mat, cdlin)
+            l_env = vwhere(
+                take,
+                env_f * en_li * (vdot(en_l, nrm) * _safe_inv(env_pdf_raw)),
+                zero_v,
             )
 
         # --- BRDF sample (comp:928-934) -----------------------------------
@@ -538,13 +595,13 @@ def _render_rays(
         u_d1 = s1.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
         s2 = wang_hash(s1)
         u_d2 = s2.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
-        l_out, d_pdf, lobe = disney_sample(
+        l_out, d_pdf, lobe = disney_sample_v(
             v_dir, nrm, t_tan, b_tan, mat, r_lobe, r1, r2, u_d1, u_d2, compat=compat
         )
         seed = jnp.where(lobe == 0, s2, seed)
 
-        d_f = disney_eval(v_dir, nrm, l_out, t_tan, b_tan, mat)
-        n_dot_l = jnp.abs(dot(nrm, l_out))
+        d_f = disney_eval_v(v_dir, nrm, l_out, t_tan, b_tan, mat, cdlin)
+        n_dot_l = jnp.abs(vdot(nrm, l_out))
 
         # --- MIS combine of the NEE estimators -----------------------------
         if cfg.mis == "reference":
@@ -554,28 +611,28 @@ def _render_rays(
             inv_sum = jnp.where(
                 pdf_sum > _EPS, 1.0 / jnp.where(pdf_sum == 0, 1.0, pdf_sum), 0.0
             )
-            nee = (
-                l_env * env_pdf[..., None] + l_direct * light_pdf[..., None]
-            ) * inv_sum[..., None]
+            nee = (l_env * env_pdf + l_direct * light_pdf) * inv_sum
         else:
             # per-strategy balance heuristic: each NEE sample weighted
             # against the BRDF strategy's pdf for the same direction
-            nee = jnp.zeros((r, 3), jnp.float32)
+            nee = zero_v
             if has_lights:
-                p_b_light = jnp.maximum(disney_pdf(v_dir, nrm, lnorm, mat), 0.0)
+                p_b_light = jnp.maximum(
+                    disney_pdf_v(v_dir, nrm, lnorm, mat), 0.0
+                )
                 w_l = light_pdf / jnp.maximum(light_pdf + p_b_light, _EPS)
-                nee = nee + l_direct * w_l[..., None]
+                nee = nee + l_direct * w_l
             if has_env:
-                p_b_env = jnp.maximum(disney_pdf(v_dir, nrm, en_l, mat), 0.0)
+                p_b_env = jnp.maximum(disney_pdf_v(v_dir, nrm, en_l, mat), 0.0)
                 w_e = env_pdf / jnp.maximum(env_pdf + p_b_env, _EPS)
-                nee = nee + l_env * w_e[..., None]
+                nee = nee + l_env * w_e
 
-        def clamp_contrib(x):
+        def clamp_contrib(x: V3) -> V3:
             if cfg.max_radiance is not None:
-                return jnp.minimum(x, cfg.max_radiance)
+                return x.map(lambda a: jnp.minimum(a, cfg.max_radiance))
             return x
 
-        lo = lo + clamp_contrib(jnp.where(active[..., None], c * nee, 0.0))
+        lo = lo + clamp_contrib(vwhere(active, c * nee, zero_v))
 
         # --- continue the path (comp:950-969) -----------------------------
         b_origin = pos + nrm * 1e-4
@@ -583,53 +640,57 @@ def _render_rays(
             hit2 = brec[2]
             rec_hit2 = hit2
         else:
-            hit2 = _closest(b_origin, l_out, t_max0, active)
+            hit2 = _closest_v(b_origin, l_out, t_max0, active)
             rec_hit2 = hit2
             if record:
                 rec_hit2 = jax.tree_util.tree_map(
                     lambda a: jnp.zeros_like(a).at[orig].set(a), hit2
                 )
-        weight = d_f * (n_dot_l * _safe_inv(d_pdf))[..., None]
+        weight = d_f * (n_dot_l * _safe_inv(d_pdf))
 
         # miss: environment radiance through the BRDF sample (comp:956-963)
         miss_now = active & ~hit2.valid
         env_li_out = env_radiance(l_out)
         if cfg.mis == "balanced" and has_env:
-            p_e_out = envmap_pdf(scene.env, l_out)
-            w_b_env = (d_pdf / jnp.maximum(d_pdf + p_e_out, _EPS))[..., None]
+            p_e_out = envmap_pdf_v(scene.env, l_out)
+            w_b_env = d_pdf / jnp.maximum(d_pdf + p_e_out, _EPS)
         else:
             w_b_env = 1.0
         lo = lo + clamp_contrib(
-            jnp.where(miss_now[..., None], c * env_li_out * weight * w_b_env, 0.0)
+            vwhere(miss_now, c * env_li_out * weight * w_b_env, zero_v)
         )
 
         # hit: emissive pickup (comp:966)
-        pos2, nrm2, uv2, mat_id2, tex_id2 = make_interaction(
+        pos2, nrm2, (u_uv2, v_uv2), mat_id2, tex_id2 = make_interaction(
             mesh, hit2, l_out, b_origin, rows=irows)
         hit_now = active & hit2.valid
         emissive2 = _emissive_of(materials, mat_id2)
         if cfg.mis == "balanced" and has_lights:
             # solid-angle pdf of the area-light NEE strategy at this hit
-            cos_h = jnp.abs(dot(nrm2, l_out))
+            cos_h = jnp.abs(vdot(nrm2, l_out))
             p_l_hit = (hit2.t * hit2.t) / jnp.maximum(
                 cos_h * lights.total_area, 1e-12
             )
-            is_emissive = jnp.any(emissive2 != 0.0, axis=-1)
+            is_emissive = (
+                (emissive2.x != 0.0) | (emissive2.y != 0.0)
+                | (emissive2.z != 0.0)
+            )
             w_b_emis = jnp.where(
                 is_emissive, d_pdf / jnp.maximum(d_pdf + p_l_hit, _EPS), 1.0
-            )[..., None]
+            )
         else:
             w_b_emis = 1.0
         lo = lo + clamp_contrib(
-            jnp.where(hit_now[..., None], c * emissive2 * weight * w_b_emis, 0.0)
+            vwhere(hit_now, c * emissive2 * weight * w_b_emis, zero_v)
         )
 
         # throughput update and state roll (comp:968-969)
-        c = jnp.where(hit_now[..., None], c * weight, c)
-        v_dir = jnp.where(hit_now[..., None], -l_out, v_dir)
-        pos = jnp.where(hit_now[..., None], pos2, pos)
-        nrm = jnp.where(hit_now[..., None], nrm2, nrm)
-        uv = jnp.where(hit_now[..., None], uv2, uv)
+        c = vwhere(hit_now, c * weight, c)
+        v_dir = vwhere(hit_now, -l_out, v_dir)
+        pos = vwhere(hit_now, pos2, pos)
+        nrm = vwhere(hit_now, nrm2, nrm)
+        u_uv = jnp.where(hit_now, u_uv2, u_uv)
+        v_uv = jnp.where(hit_now, v_uv2, v_uv)
         mat_id = jnp.where(hit_now, mat_id2, mat_id)
         tex_id = jnp.where(hit_now, tex_id2, tex_id)
         active = hit_now
@@ -643,12 +704,9 @@ def _render_rays(
             if not (static_bounce and not rr_on):
                 gate = jnp.asarray(rr_on, bool)  # folds when static
                 seed2, u_rr = rand01(seed)
-                p_survive = jnp.clip(jnp.max(c, axis=-1), 0.05, 0.95)
+                p_survive = jnp.clip(c.max_component(), 0.05, 0.95)
                 survive = u_rr < p_survive
-                c = jnp.where(
-                    (gate & active & survive)[..., None],
-                    c / p_survive[..., None], c,
-                )
+                c = vwhere(gate & active & survive, c / p_survive, c)
                 active = active & (survive | ~gate)
                 seed = jnp.where(gate, seed2, seed)
 
@@ -675,24 +733,26 @@ def _render_rays(
                     perm, _ = compact_indices(active)
                 if not static_bounce:
                     perm = jnp.where(is_last, arange_r, perm)
-                (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
-                 orig, px_l, py_l) = jax.tree_util.tree_map(
+                (active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
+                 seed, orig, px_l, py_l) = jax.tree_util.tree_map(
                     lambda a: a[perm],
-                    (active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo, seed,
-                     orig, px_l, py_l),
+                    (active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c,
+                     lo, seed, orig, px_l, py_l),
                 )
 
-        carry = (seed, active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo,
-                 orig, px_l, py_l)
+        carry = (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
+                 c, lo, orig, px_l, py_l)
         out_rec = (rec_occ, rec_eocc, rec_hit2) if record else jnp.int32(0)
         return carry, out_rec
 
     active = primary_hit
-    pos, nrm, uv, mat_id, tex_id = make_interaction(mesh, hit, d, o,
-                                                    rows=irows)
+    pos, nrm, (u_uv, v_uv), mat_id, tex_id = make_interaction(
+        mesh, hit, d_v, o_v, rows=irows)
+    ones_r = jnp.ones((r,), jnp.float32)
+    zeros_r = jnp.zeros((r,), jnp.float32)
     carry = (
-        seed, active, pos, nrm, uv, mat_id, tex_id, -d,
-        jnp.ones((r, 3), jnp.float32), jnp.zeros((r, 3), jnp.float32),
+        seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, -d_v,
+        V3(ones_r, ones_r, ones_r), V3(zeros_r, zeros_r, zeros_r),
         arange_r, px, py,
     )
 
@@ -730,20 +790,21 @@ def _render_rays(
             if record else None
         )
 
-    (seed, active, pos, nrm, uv, mat_id, tex_id, v_dir, c, lo,
+    (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
      orig, px_l, py_l) = carry
 
     # restore original ray order after compaction permutations
-    lo = jnp.zeros_like(lo).at[orig].set(lo)
+    lo = lo.map(lambda a: jnp.zeros_like(a).at[orig].set(a))
 
     # ---- compose (comp:983-988): primary emissive + path radiance on hit,
     # environment on miss
     primary_emissive = _emissive_of(
         materials, irows[jnp.maximum(hit.tri, 0), 24].astype(jnp.int32)
     )
-    color = jnp.where(primary_hit[..., None], primary_emissive + lo, miss_color)
+    color_v = vwhere(primary_hit, primary_emissive + lo, miss_color)
     if cfg.clamp_radiance:
-        color = jnp.clip(color, 0.0, 1.0)
+        color_v = color_v.map(lambda a: jnp.clip(a, 0.0, 1.0))
+    color = color_v.rows()
 
     recs_out = None
     if record:
