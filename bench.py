@@ -113,10 +113,12 @@ def main() -> int:
         overrides["trav_tile"] = args.trav_tile if args.trav_tile > 0 else None
     if args.traversal is not None:
         overrides["traversal"] = args.traversal
-    elif not args.cpu:
+    elif jax.default_backend() == "tpu":
         # the Mosaic packet kernel is the TPU hot path (the XLA loop
         # backends run ~35x slower and overrun the worker's execution
-        # deadline at flagship size)
+        # deadline at flagship size); on other backends keep the
+        # RenderConfig default — running Mosaic under the Pallas
+        # interpreter is pathologically slow
         overrides["traversal"] = "pallas"
     if args.trav_chunk is not None:
         overrides["trav_chunk"] = args.trav_chunk

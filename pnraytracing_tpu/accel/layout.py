@@ -65,6 +65,10 @@ class TravData:
     # 4-wide collect-then-test layout (host-built; None in-graph refits
     # rebuild it via pack_wide4 on the host path)
     w4: Wide4Data | None = None
+    # Brick-paged streaming layout for > SMEM scenes (accel/bricks.py;
+    # host-built at scene build when the packed scene exceeds the
+    # SMEM-resident kernel budget; None in-graph)
+    stream: "object | None" = None
 
 
 def _enc_i2f(x: jnp.ndarray) -> jnp.ndarray:

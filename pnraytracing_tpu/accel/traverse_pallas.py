@@ -531,9 +531,12 @@ def _pack_inputs(trav, o, d, t_max, mask, tile_size):
     rays = comps.reshape(8, n_tiles, sub, 128).transpose(1, 0, 2, 3)
 
     # near/far order per tile from the mean direction sign (same policy
-    # as traverse_packet.py's per-tile dsum)
+    # as traverse_packet.py's per-tile dsum); padded/inactive lanes are
+    # excluded so a mostly-padded tail tile orders by its REAL rays
+    actf = act.astype(jnp.float32)
     dsign = jnp.stack(
-        [c.reshape(n_tiles, tile).sum(axis=1) for c in (dx, dy, dz)],
+        [(c * actf).reshape(n_tiles, tile).sum(axis=1)
+         for c in (dx, dy, dz)],
         axis=1,
     )
     dsign = jnp.where(dsign < 0, -1, 1).astype(jnp.int32).reshape(-1)

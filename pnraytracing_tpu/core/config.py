@@ -78,7 +78,12 @@ class RenderConfig:
     # so later bounces only pay for tiles that still hold live rays.
     # Results are bit-identical (pure permutation; per-ray RNG state and
     # pixel ids travel with the ray).
-    compact_rays: bool = True
+    # Default OFF since round 4: the Mosaic packet kernel already drains
+    # dead tiles in ~1 iteration, and the 14-array permutation costs
+    # ~110 ms per bounce at 512^2 on the chip — the flagship frame ran
+    # 509 ms with compaction vs 237 ms without (stage_profile round 4).
+    # Turn back on for the XLA loop backends on large/deep scenes.
+    compact_rays: bool = False
 
     # When compacting, additionally sort live rays by a spatial-directional
     # coherence key (normal octant + position cell) so each traversal tile

@@ -278,6 +278,12 @@ class EnvMap:
     # [W, H, 2].  Alias ids are stored as exact small-int floats.
     alias_x: jnp.ndarray | None = None  # [W, 2] f32
     alias_y: jnp.ndarray | None = None  # [W, H, 2] f32
+    # Fat alias rows: ONE [W*H, 10] row gather resolves the whole env
+    # sample — [prob, alias, rgb@(x,j) x3, rgb@(x,alias) x3, pdf@(x,j),
+    # pdf@(x,alias)] — so no follow-up image/pdf gathers are needed
+    # (ops/envmap.py::sample_envmap_v).  Host-baked with the alias
+    # tables; None in-graph (the bisection path keeps gradients).
+    alias_fat: jnp.ndarray | None = None  # [W*H, 10] f32
     # Pre-packed 2x2 bilinear quads: quad12[y, x] = texels (y,x),(y,x+1),
     # (y+1,x),(y+1,x+1) flattened — ONE row gather per bilinear fetch
     # instead of four.  Built from `image` by rolls/concats, so it is

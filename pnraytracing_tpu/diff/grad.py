@@ -240,6 +240,8 @@ def adam_optimize(
     use_replay: bool = True,
     resample: bool = True,
     grad_mask: dict | None = None,
+    log_every: int | None = None,
+    log_fn=None,
 ):
     """Small self-contained inverse-rendering loop (BASELINE config 5's
     "differentiable material/env optimization").  Returns (optimized scene,
@@ -256,7 +258,15 @@ def adam_optimize(
     leaves) freezes coordinates where the mask is 0 — e.g. optimize one
     object's vertices while pinning the light geometry.  Without it,
     adam's per-coordinate normalization moves near-zero-gradient
-    coordinates at full ``lr`` speed (they just follow noise)."""
+    coordinates at full ``lr`` speed (they just follow noise).
+
+    ``log_every=N`` emits one structured metrics line per N steps via
+    ``log_fn`` (default: print) — JSON with step, loss, global grad
+    norm, per-key grad norms, rays/s and step wall time (the per-step
+    observability the reference's stdout counters lack, SURVEY.md §5)."""
+    import json
+    import time as _time
+
     import optax
 
     from pnraytracing_tpu.core.camera import camera_rays
@@ -271,6 +281,9 @@ def adam_optimize(
 
     grad_fn = loss_and_grad_replay if use_replay else loss_and_grad
     losses = []
+    emit = log_fn or (lambda line: print(line, flush=True))
+    rays_per_sample = cfg.num_pixels * (1 + 3 * cfg.max_depth)
+    t_prev = _time.perf_counter()
     for step in range(steps):
         loss, grads = grad_fn(
             params, scene, o, d, px, py,
@@ -298,4 +311,22 @@ def adam_optimize(
                 apply_params(scene, {"positions": params["positions"]})
             )
         losses.append(float(loss))
+        if log_every and (step % log_every == 0 or step == steps - 1):
+            # the float(loss) above already synchronized the step
+            now = _time.perf_counter()
+            dt = now - t_prev
+            t_prev = now
+            gnorms = {
+                k: float(optax.global_norm(v)) for k, v in grads.items()
+            }
+            emit(json.dumps({
+                "step": step,
+                "loss": losses[-1],
+                "grad_norm": float(optax.global_norm(grads)),
+                "grad_norms": gnorms,
+                "rays_per_s": round(rays_per_sample * spp_per_step / dt, 1),
+                "step_s": round(dt, 4),
+            }))
+        else:
+            t_prev = _time.perf_counter()
     return apply_params(scene, params), losses

@@ -134,7 +134,7 @@ def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
         cdf_y_given_x = jnp.cumsum(cond, axis=1)
         to_dev = lambda a: a  # already traced values
 
-    alias_x = alias_y = None
+    alias_x = alias_y = alias_fat = None
     if alias:
         if not host:
             raise ValueError(
@@ -153,6 +153,26 @@ def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
             prob_y[xcol] = pcol
             al_y[xcol] = acol.astype(np.float32)
         alias_y = jnp.asarray(np.stack([prob_y, al_y], axis=-1))
+        # fat rows: bake the texel radiance + pdf of BOTH alias outcomes
+        # into the row so the device resolves a sample with ONE gather
+        al_int = al_y.astype(np.int64)  # [w, h] alias y-cells
+        img_t = img_np.transpose(1, 0, 2)  # [w, h, 3]
+        rgb_keep = img_t
+        rgb_alias = np.take_along_axis(img_t, al_int[..., None], axis=1)
+        pdf_keep = pdf_xy.astype(np.float32)
+        pdf_alias = np.take_along_axis(
+            pdf_xy, al_int, axis=1
+        ).astype(np.float32)
+        alias_fat = jnp.asarray(
+            np.concatenate(
+                [
+                    prob_y[..., None], al_y[..., None],
+                    rgb_keep, rgb_alias,
+                    pdf_keep[..., None], pdf_alias[..., None],
+                ],
+                axis=-1,
+            ).reshape(w * h, 10).astype(np.float32)
+        )
     img_j = jnp.asarray(image, jnp.float32) if host else image
     return EnvMap(
         image=img_j,
@@ -166,6 +186,7 @@ def build_envmap(image: jnp.ndarray, alias: bool = False) -> EnvMap:
         ),
         alias_x=alias_x,
         alias_y=alias_y,
+        alias_fat=alias_fat,
     )
 
 
@@ -344,8 +365,42 @@ def envmap_lookup_v(env: EnvMap, dirs: "V3") -> "V3":
 
 def sample_envmap_v(env: EnvMap, u1, u2, compat: bool = False):
     """Component twin of :func:`sample_envmap`:
-    returns (dir V3, radiance V3, pdf [R])."""
+    returns (dir V3, radiance V3, pdf [R]).
+
+    With host-baked fat alias rows (types.py::EnvMap.alias_fat) the whole
+    sample costs TWO row gathers (alias_x + fat row) and pure elementwise
+    math — no [R, 3] stack, no follow-up image/pdf gathers.  Identical
+    values to :func:`sample_envmap`'s alias path (the fat row carries the
+    same texels/pdf the separate gathers would fetch)."""
     from pnraytracing_tpu.core.vec import V3
+
+    if env.alias_fat is not None and not compat:
+        w, h = env.width, env.height
+        j1 = jnp.clip((u1 * w).astype(jnp.int32), 0, w - 1)
+        frac1 = u1 * w - j1.astype(jnp.float32)
+        rowx = env.alias_x[j1]  # [R, 2]
+        x = jnp.where(frac1 < rowx[:, 0], j1, rowx[:, 1].astype(jnp.int32))
+        j2 = jnp.clip((u2 * h).astype(jnp.int32), 0, h - 1)
+        frac2 = u2 * h - j2.astype(jnp.float32)
+        fat = env.alias_fat[x * h + j2]  # [R, 10] — the ONE env gather
+        take = frac2 < fat[:, 0]
+        y = jnp.where(take, j2, fat[:, 1].astype(jnp.int32))
+        radiance = V3(
+            jnp.where(take, fat[:, 2], fat[:, 5]),
+            jnp.where(take, fat[:, 3], fat[:, 6]),
+            jnp.where(take, fat[:, 4], fat[:, 7]),
+        )
+        p2d = jnp.where(take, fat[:, 8], fat[:, 9])
+        u = (x.astype(jnp.float32) + 0.5) / w
+        v = (y.astype(jnp.float32) + 0.5) / h
+        phi = TWO_PI * (u - 0.5)
+        theta = PI * (0.5 - v)
+        cos_t = jnp.cos(theta)
+        dirs = V3(cos_t * jnp.cos(phi), jnp.sin(theta), cos_t * jnp.sin(phi))
+        pdf = p2d * (w * h) / (
+            2.0 * PI * PI * jnp.maximum(cos_t, _POLE_EPS)
+        )
+        return dirs, radiance, pdf
 
     d, radiance, pdf = sample_envmap(env, u1, u2, compat=compat)
     return V3.of(d), V3.of(radiance), pdf

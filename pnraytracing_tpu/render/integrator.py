@@ -334,6 +334,7 @@ def _render_rays(
 
     # Traversal dispatch: the packed layout (one row-gather per node visit /
     # triangle test) when the scene carries it, generic otherwise.
+    component_native = False  # backend consumes V3 components directly
     if scene.trav is not None:
         packed_kw = dict(trace_kw, tile_size=cfg.trav_tile)
         use_wide = cfg.traversal == "wide" and scene.trav.nodes16 is not None
@@ -347,12 +348,30 @@ def _render_rays(
             from pnraytracing_tpu.accel.traverse_pallas import (
                 any_hit_pallas,
                 closest_hit_pallas,
+                scene_fits_smem,
             )
 
-            # Mosaic compiles on TPU only; elsewhere (CPU test meshes)
-            # the same kernel runs under the Pallas interpreter.
-            packed_kw["interpret"] = jax.default_backend() != "tpu"
-            _closest_fn, _occluded_fn = closest_hit_pallas, any_hit_pallas
+            if scene_fits_smem(scene.trav, "binary"):
+                # Mosaic compiles on TPU only; elsewhere (CPU test meshes)
+                # the same kernel runs under the Pallas interpreter.
+                packed_kw["interpret"] = jax.default_backend() != "tpu"
+                _closest_fn, _occluded_fn = closest_hit_pallas, any_hit_pallas
+                component_native = True
+            elif scene.trav.stream is not None:
+                # scene exceeds SMEM: brick-paged streaming Mosaic kernel
+                from pnraytracing_tpu.accel.traverse_stream import (
+                    any_hit_stream,
+                    closest_hit_stream,
+                )
+
+                packed_kw["interpret"] = jax.default_backend() != "tpu"
+                _closest_fn, _occluded_fn = (closest_hit_stream,
+                                             any_hit_stream)
+                component_native = True
+            else:
+                # no streaming layout (e.g. in-graph refit): XLA packet
+                # walk instead of raising (pick_variant's contract)
+                _closest_fn, _occluded_fn = closest_hit_packet, any_hit_packet
         elif cfg.traversal == "wide4" and scene.trav.w4 is not None:
             _closest_fn = _occluded_fn = None
         else:
@@ -426,7 +445,7 @@ def _render_rays(
     # materialized [R, 3] arrays lane-pad to [R, 128] on TPU (BASELINE.md
     # round 3).  The Mosaic traversal consumes components natively; the
     # XLA backends take [R, 3] rows at their boundary.
-    if cfg.traversal == "pallas" and scene.trav is not None:
+    if component_native:
         _closest_v, _occluded_v = _closest, _occluded
     else:
         def _closest_v(o_, d_, tm_, mask_=None):
@@ -555,10 +574,13 @@ def _render_rays(
             cos_l = jnp.abs(vdot(ln, -lnorm))
             raw_pdf = dis2 / jnp.maximum(cos_l * lights.total_area, 1e-12)
             light_pdf = jnp.where(active & ~occluded, raw_pdf, 0.0)
-            # material id per LIGHT SLOT ([L] is tiny): one [L]-row gather
-            # once, then an L-way select per ray
+            # material id per LIGHT SLOT: an L-way select per ray when the
+            # light list is small (zero gathers), one [R] gather otherwise
+            # (hundreds of emissive tris would unroll a huge select chain)
             lmat_tbl = irows[lights.tri_index, 24].astype(jnp.int32)
-            li = _emissive_of(materials, select_small(lmat_tbl, slot))
+            lmat = (select_small(lmat_tbl, slot) if lights.count <= 32
+                    else lmat_tbl[slot])
+            li = _emissive_of(materials, lmat)
             light_f = disney_eval_v(v_dir, nrm, lnorm, t_tan, b_tan, mat,
                                     cdlin)
             nl = jnp.abs(vdot(nrm, lnorm))

@@ -233,6 +233,17 @@ class SceneBuilder:
                 trav = trav.replace(
                     w4=pack_wide4(built, tri9_np, width=width)
                 )
+            # scenes too large for the SMEM-resident Mosaic kernel get
+            # the brick-paged streaming layout (host-built once, like
+            # the reference's one-time buffer packing main.cpp:485-507)
+            from pnraytracing_tpu.accel.traverse_pallas import (
+                scene_fits_smem,
+            )
+
+            if not scene_fits_smem(trav, "binary"):
+                from pnraytracing_tpu.accel.bricks import build_stream_data
+
+                trav = trav.replace(stream=build_stream_data(bvh, mesh))
 
         return Scene(
             mesh=mesh,

@@ -15,6 +15,23 @@ _DEFAULT_DIR = os.path.join(
 )
 
 
+def host_cpu_tag() -> str:
+    """Fingerprint of this host's CPU feature set.  CPU-backend cache
+    directories are keyed by it: XLA:CPU executables are compiled for the
+    build host's machine features, and loading one cached on a different
+    machine can SIGILL (XLA's cache-load warning)."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            src = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        src = ""
+    src = src or platform.processor() or platform.machine() or "unknown"
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     import jax
 

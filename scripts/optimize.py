@@ -74,7 +74,7 @@ def main() -> int:
     keys = tuple(args.keys.split(","))
     scene_opt, losses = adam_optimize(
         scene0, camera, cfg, target, keys=keys, steps=args.steps, lr=args.lr,
-        spp_per_step=args.spp_per_step,
+        spp_per_step=args.spp_per_step, log_every=1,
     )
     print(f"loss: {losses[0]:.5f} -> {losses[-1]:.5f} "
           f"({losses[0] / max(losses[-1], 1e-12):.1f}x reduction)")

@@ -1,12 +1,17 @@
 #!/usr/bin/env python
-"""Time each bounce stage standalone on the chip with realistic inputs.
+"""Stage attribution of the flagship frame, post-V3 (component layout).
 
-The frame profile attributes ~80-150 ms to each bounce while the
-traversal queries alone cost ~40-60 ms — this isolates the rest.
-Fetch-bounded timing."""
+Times each bounce stage standalone on the chip with realistic inputs,
+using EXACTLY the calls the integrator makes (V3 component layout,
+Mosaic traversal), plus a whole-frame reference and A/B probes of the
+candidate optimizations.  Fetch-bounded timing throughout.
+
+Usage: python scripts/stage_profile.py [--frame-only] [--n 10]
+"""
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -21,55 +26,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pnraytracing_tpu.core.camera import camera_rays
-from pnraytracing_tpu.core.config import RenderConfig
-from pnraytracing_tpu.scene.scenes import config3_teapot_night
-
 
 def log(*a):
     print(*a, flush=True)
 
 
-def timed(name, fn, *args, n=10, fetch=lambda o: o.sum()):
+def timed(name, fn, *args, n=10, fetch=None):
     out = fn(*args)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    np.asarray(fetch(out))
+    # fetch bounds the dispatch queue (BASELINE.md integrity notes)
+    leaf = jax.tree_util.tree_leaves(out)[0] if fetch is None else fetch(out)
+    np.asarray(leaf)
     dt = (time.perf_counter() - t0) / n
-    log(f"{name:28s}: {dt*1e3:8.2f} ms")
+    log(f"{name:34s}: {dt*1e3:8.2f} ms")
     return out
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--frame-only", action="store_true")
+    ap.add_argument("--env-height", type=int, default=256)
+    args = ap.parse_args()
+    n = args.n
+
     log("devices:", jax.devices())
     from pnraytracing_tpu.accel.traverse_pallas import (
         any_hit_pallas,
         closest_hit_pallas,
     )
-    from pnraytracing_tpu.ops.brdf import disney_eval, disney_sample
+    from pnraytracing_tpu.core.camera import camera_rays
+    from pnraytracing_tpu.core.config import RenderConfig
+    from pnraytracing_tpu.core.vec import V3, build_tangent_space_v, vdot
+    from pnraytracing_tpu.ops.brdf import disney_eval_v, disney_sample_v
     from pnraytracing_tpu.ops.compaction import (
         coherence_key,
+        compact_indices,
         sort_live_first,
     )
-    from pnraytracing_tpu.core.math import build_tangent_space
-    from pnraytracing_tpu.ops.envmap import envmap_lookup, sample_envmap
+    from pnraytracing_tpu.ops.envmap import (
+        envmap_lookup_v,
+        sample_envmap_v,
+    )
     from pnraytracing_tpu.ops.sampling import pick_light, pixel_seed, rand01
     from pnraytracing_tpu.render.integrator import (
         make_interaction,
         pack_interaction_rows,
+        sample_light_point,
     )
-    from pnraytracing_tpu.render.renderer import pixel_coords
+    from pnraytracing_tpu.render.renderer import pixel_coords, render_average
+    from pnraytracing_tpu.scene.scenes import config3_teapot_night
 
     cfg = RenderConfig(width=512, height=512, max_depth=4,
                        traversal="pallas")
-    scene, cam_state = config3_teapot_night(env_height=256)
+    scene, cam_state = config3_teapot_night(env_height=args.env_height)
     cam_state.aspect = 1.0
     camera = cam_state.basis()
     scene = jax.device_put(scene)
     trav = scene.trav
-    mesh = scene.materials, scene.mesh
     mesh = scene.mesh
     o, d, _ = camera_rays(camera, 512, 512)
     r = o.shape[0]
@@ -77,110 +94,176 @@ def main():
     t_max = jnp.full((r,), 1e7, jnp.float32)
     kw = dict(tile_size=4096)
 
-    f_closest = jax.jit(lambda o_, d_, t_: closest_hit_pallas(
-        trav, o_, d_, t_, **kw))
-    hit = timed("closest primary", f_closest, o, d, t_max,
+    # ---- whole frame reference -----------------------------------------
+    f_frame = jax.jit(lambda fr: render_average(scene, camera, cfg, fr, 1))
+    timed("FULL FRAME (1 spp)", f_frame, jnp.uint32(0), n=n,
+          fetch=lambda x: x.sum())
+    import dataclasses
+    for label, over in [
+        ("frame no-compact", dict(compact_rays=False)),
+        ("frame sort dir", dict(sort_rays=True, sort_key="dir")),
+        ("frame sort pos", dict(sort_rays=True, sort_key="pos")),
+        ("frame no-fuse", dict(fuse_shadows=False)),
+        ("frame depth=1", dict(max_depth=1)),
+        ("frame depth=2", dict(max_depth=2)),
+    ]:
+        c2 = dataclasses.replace(cfg, **over)
+        f2 = jax.jit(lambda fr, c2=c2: render_average(scene, camera, c2,
+                                                      fr, 1))
+        timed(label, f2, jnp.uint32(0), n=n, fetch=lambda x: x.sum())
+    if args.frame_only:
+        return 0
+
+    # ---- stage-by-stage (component layout, integrator-identical) -------
+    o_v = V3.of(o)
+    d_v = V3.of(d)
+
+    f_closest = jax.jit(lambda ov, dv, t_: closest_hit_pallas(
+        trav, ov, dv, t_, **kw))
+    hit = timed("closest primary", f_closest, o_v, d_v, t_max, n=n,
                 fetch=lambda h: h.t)
 
     irows = pack_interaction_rows(mesh)
-    f_rows = jax.jit(pack_interaction_rows)
-    timed("pack_interaction_rows", f_rows, mesh, fetch=lambda x: x[0])
-
-    f_inter = jax.jit(lambda h: make_interaction(mesh, h, d, o, rows=irows))
-    pos, nrm, uv, mat_id, tex_id = timed(
-        "make_interaction", f_inter, hit, fetch=lambda t: t[0]
+    f_inter = jax.jit(
+        lambda h: make_interaction(mesh, h, d_v, o_v, rows=irows))
+    pos, nrm, (u_uv, v_uv), mat_id, tex_id = timed(
+        "make_interaction", f_inter, hit, n=n, fetch=lambda t: t[0].x
     )
 
-    f_mat = jax.jit(lambda mid: scene.materials.gather(mid))
-    mats = timed("materials one-hot fetch", f_mat, mat_id,
-                 fetch=lambda m: m.base_color)
+    f_inter_nd = jax.jit(
+        lambda h: make_interaction(mesh, h, d_v, None, rows=irows))
+    timed("make_interaction (no rederive)", f_inter_nd, hit, n=n,
+          fetch=lambda t: t[0].x)
+
+    # raw [T,26] row gather vs a 128-padded table (layout A/B)
+    tri = jnp.maximum(hit.tri, 0)
+    f_g26 = jax.jit(lambda t_: irows[t_])
+    timed("[T,26] row gather", f_g26, tri, n=n)
+    irows128 = jnp.pad(irows, ((0, 0), (0, 128 - irows.shape[1])))
+    f_g128 = jax.jit(lambda t_: irows128[t_])
+    timed("[T,128] row gather", f_g128, tri, n=n)
+    # component-planes variant: 26 separate [T] 1-element gathers
+    planes = [irows[:, k] for k in range(26)]
+    f_gpl = jax.jit(lambda t_: [p[t_] for p in planes])
+    timed("26x [T] plane gathers", f_gpl, tri, n=n, fetch=lambda x: x[0])
+
+    f_mat = jax.jit(
+        lambda mid: scene.materials.sanitized().gather_components(mid))
+    mat, cdlin, _ = timed("materials gather_components", f_mat, mat_id,
+                          n=n, fetch=lambda m: m[0].metallic)
+
+    f_tan = jax.jit(build_tangent_space_v)
+    t_tan, b_tan = timed("build_tangent_space_v", f_tan, nrm, n=n,
+                         fetch=lambda t: t[0].x)
 
     seed = pixel_seed(px, py, jnp.uint32(1))
 
     def _light(seed_):
         s, u1 = rand01(seed_)
-        li = pick_light(scene.lights.prefix_area, scene.lights.total_area,
-                        u1)
-        return li
+        slot = pick_light(scene.lights.prefix_area,
+                          scene.lights.total_area, u1)
+        s, u2 = rand01(s)
+        s, u3 = rand01(s)
+        lt = scene.lights.tri_index[slot]
+        lp, ln = sample_light_point(mesh, lt, u2, u3, rows=irows)
+        return lp.x
 
-    timed("pick_light", jax.jit(_light), seed, fetch=lambda t: t)
+    timed("light pick+sample_point", jax.jit(_light), seed, n=n)
 
-    # shadow batch: 2R rays (light + env NEE), realistic targets
-    light_target = pos + nrm * 2.0 + 0.5
-    sd = light_target - pos
-    o2 = jnp.concatenate([pos, pos])
-    d2 = jnp.concatenate([sd, nrm + 0.3])
-    t2 = jnp.concatenate([jnp.ones((r,), jnp.float32),
-                          jnp.full((r,), 1e7, jnp.float32)])
+    if scene.env is not None:
+        def _env(seed_):
+            s, r1 = rand01(seed_)
+            s, r2 = rand01(s)
+            en_l, en_li, pdf = sample_envmap_v(scene.env, r1, r2)
+            return en_l.x + en_li.x + pdf
+
+        timed("sample_envmap_v", jax.jit(_env), seed, n=n)
+        f_look = jax.jit(lambda dv: envmap_lookup_v(scene.env, dv).x)
+        timed("envmap_lookup_v", f_look, d_v, n=n)
+
+    v_dir = -d_v
+    f_eval = jax.jit(lambda: disney_eval_v(
+        v_dir, nrm, nrm, t_tan, b_tan, mat, cdlin).x)
+    timed("disney_eval_v (x1)", f_eval, n=n)
+
+    def _samp(seed_):
+        s, r1 = rand01(seed_)
+        s, r2 = rand01(s)
+        s, r3 = rand01(s)
+        s, r4 = rand01(s)
+        s, r5 = rand01(s)
+        l_out, d_pdf, lobe = disney_sample_v(
+            v_dir, nrm, t_tan, b_tan, mat, r1, r2, r3, r4, r5)
+        return l_out.x + d_pdf
+
+    timed("disney_sample_v", jax.jit(_samp), seed, n=n)
+
+    # fused shadow any-hit (2R rays, light + env targets)
+    def _vcat(a, b):
+        return V3(jnp.concatenate([a.x, b.x]), jnp.concatenate([a.y, b.y]),
+                  jnp.concatenate([a.z, b.z]))
+
+    lp = pos + nrm * 2.0 + 0.5
+    sd = lp - pos
+    o2 = _vcat(pos, pos)
+    d2 = _vcat(sd, nrm + 0.3)
+    t2 = jnp.concatenate([jnp.ones((r,), jnp.float32), t_max])
     m2 = jnp.concatenate([hit.valid, hit.valid])
     f_any = jax.jit(lambda oo, dd, tt, mm: any_hit_pallas(
         trav, oo, dd, tt, mm, **kw))
-    timed("fused shadow any-hit (2R)", f_any, o2, d2, t2, m2,
-          fetch=lambda x: x)
-
-    if scene.env is not None:
-        f_env = jax.jit(lambda s_: sample_envmap(
-            scene.env, rand01(s_)[1], rand01(rand01(s_)[0])[1]))
-        timed("env importance sample", f_env, seed, fetch=lambda t: t[0])
-        f_look = jax.jit(lambda dd: envmap_lookup(scene.env, dd))
-        timed("env radiance lookup", f_look, d, fetch=lambda x: x)
-
-    v = -d
-    tx, bx = build_tangent_space(nrm)
-    f_brdf = jax.jit(lambda v_, n_, l_, t_, b_, m_: disney_eval(
-        v_, n_, l_, t_, b_, m_))
-    l_dir = nrm
-    timed("disney eval", f_brdf, v, nrm, l_dir, tx, bx, mats,
-          fetch=lambda t: t[0] if isinstance(t, tuple) else t)
-
-    def _samp(s_):
-        s2, u1 = rand01(s_)
-        s2, u2 = rand01(s2)
-        s2, u3 = rand01(s2)
-        s2, u4 = rand01(s2)
-        s2, u5 = rand01(s2)
-        return disney_sample(v, nrm, tx, bx, mats, u1, u2, u3, u4, u5)
-
-    sampled = timed("disney sample", jax.jit(_samp), seed,
-                    fetch=lambda t: t[0])
-    new_d = sampled[0]
+    timed("fused shadow any-hit (2R)", f_any, o2, d2, t2, m2, n=n)
 
     # continuation closest with realistic (incoherent) bounce dirs
+    def _cont(seed_):
+        s, r1 = rand01(seed_)
+        s, r2 = rand01(s)
+        s, r3 = rand01(s)
+        s, r4 = rand01(s)
+        s, r5 = rand01(s)
+        l_out, _, _ = disney_sample_v(
+            v_dir, nrm, t_tan, b_tan, mat, r1, r2, r3, r4, r5)
+        return l_out
+
+    new_d = jax.jit(_cont)(seed)
     f_cont = jax.jit(lambda oo, dd, mm: closest_hit_pallas(
         trav, oo, dd, t_max, mm, **kw))
-    timed("closest continuation", f_cont, pos, new_d, hit.valid,
-          fetch=lambda h: h.t)
+    timed("closest continuation (inc)", f_cont, pos, new_d, hit.valid,
+          n=n, fetch=lambda h: h.t)
 
-    # sorted continuation
+    # compaction permutation applied to the full carry (14 arrays)
+    def _compact(mm, seed_):
+        perm, _ = compact_indices(mm)
+        carry = (mm, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
+                 pos, nrm, seed_, mat_id, px, py)
+        return jax.tree_util.tree_map(lambda a: a[perm], carry)
+
+    timed("compact permute x14 arrays", jax.jit(_compact), hit.valid,
+          seed, n=n, fetch=lambda t: t[1].x)
+
+    # sorted variant
     root = trav.nodes8[0]
     lo_b, hi_b = root[0:3], root[3:6]
     inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
 
-    def _sorted_cont(oo, dd, mm):
-        perm, _ = sort_live_first(mm, coherence_key(nrm, oo, lo_b, inv_ext))
-        return closest_hit_pallas(
-            trav, oo[perm], dd[perm], t_max, mm[perm], **kw)
+    def _sorted(mm, seed_):
+        perm, _ = sort_live_first(mm, coherence_key(nrm, pos, lo_b, inv_ext))
+        carry = (mm, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
+                 pos, nrm, seed_, mat_id, px, py)
+        return jax.tree_util.tree_map(lambda a: a[perm], carry)
 
-    timed("sort + closest continuation", jax.jit(_sorted_cont),
-          pos, new_d, hit.valid, fetch=lambda h: h.t)
+    timed("sort+permute x14 arrays", jax.jit(_sorted), hit.valid, seed,
+          n=n, fetch=lambda t: t[1].x)
 
-    def _sort_only(oo, mm):
-        perm, _ = sort_live_first(mm, coherence_key(nrm, oo, lo_b, inv_ext))
-        return perm
+    # final radiance scatter to pixel order
+    lo3 = (new_d.x, new_d.y, new_d.z)
+    orig = jnp.argsort(seed).astype(jnp.int32)
 
-    timed("sort_live_first alone", jax.jit(_sort_only), pos, hit.valid,
-          fetch=lambda x: x)
+    def _scatter(orig_):
+        return tuple(jnp.zeros((r,), jnp.float32).at[orig_].set(c)
+                     for c in lo3)
 
-    # radiance scatter back to pixel order
-    lo = jnp.abs(new_d)
-    orig = jnp.argsort(seed).astype(jnp.int32)  # a realistic permutation
-
-    def _scatter(lo_, orig_):
-        img = jnp.zeros((r, 3), jnp.float32)
-        return img.at[orig_].add(lo_)
-
-    timed("radiance scatter", jax.jit(_scatter), lo, orig,
-          fetch=lambda x: x)
+    timed("radiance unscramble x3", jax.jit(_scatter), orig, n=n,
+          fetch=lambda x: x[0])
     return 0
 
 

@@ -212,3 +212,31 @@ def test_quad_lookup_matches_four_gather_bilinear():
     a = bilinear_lookup(env.image, u, v)
     b = bilinear_lookup_quads(env.quad12, u, v)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fat_alias_rows_match_plain_alias_sampling():
+    """sample_envmap_v's one-gather fat-row path must return exactly the
+    values of the separate-gather alias path (same x/y cells, texels and
+    pdf — the fat row just pre-packs them)."""
+    import numpy as np
+
+    from pnraytracing_tpu.io.hdr import procedural_sky
+    from pnraytracing_tpu.ops.envmap import build_envmap, sample_envmap, sample_envmap_v
+
+    img = procedural_sky(16, 32)
+    env = build_envmap(jnp.asarray(img), alias=True)
+    assert env.alias_fat is not None
+    assert env.alias_fat.shape == (32 * 16, 10)
+    rng = np.random.default_rng(7)
+    u1 = jnp.asarray(rng.random(4096, dtype=np.float32))
+    u2 = jnp.asarray(rng.random(4096, dtype=np.float32))
+    d_ref, rad_ref, pdf_ref = sample_envmap(env, u1, u2)
+    dv, radv, pdfv = sample_envmap_v(env, u1, u2)
+    np.testing.assert_array_equal(np.asarray(rad_ref[:, 0]), np.asarray(radv.x))
+    np.testing.assert_array_equal(np.asarray(rad_ref[:, 1]), np.asarray(radv.y))
+    np.testing.assert_array_equal(np.asarray(rad_ref[:, 2]), np.asarray(radv.z))
+    np.testing.assert_allclose(np.asarray(pdf_ref), np.asarray(pdfv),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(d_ref),
+                               np.asarray(jnp.stack([dv.x, dv.y, dv.z], -1)),
+                               rtol=1e-6, atol=1e-7)

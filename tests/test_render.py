@@ -166,7 +166,11 @@ def test_render_average_matches_loop():
     # of such flips.
     bad = (np.abs(a - b) > 1e-5).any(axis=-1)
     assert bad.sum() <= 4, f"{bad.sum()} pixels differ beyond 1e-5"
-    assert np.abs(a - b).mean() < 1e-5
+    # mean over the NON-flipped pixels (a flipped discrete decision makes
+    # an O(1) pixel difference that the allowance above already covers;
+    # folding it into a global mean made the bound contradict it)
+    err = np.abs(a - b)[~bad]
+    assert err.size == 0 or err.mean() < 1e-5
 
 
 def test_sorted_compaction_bit_identical():
@@ -175,8 +179,10 @@ def test_sorted_compaction_bit_identical():
     import dataclasses
 
     scene, cam = small_scene()
-    cfg_s = dataclasses.replace(CFG, sort_rays=True, max_depth=3)
-    cfg_p = dataclasses.replace(CFG, sort_rays=False, max_depth=3)
+    cfg_s = dataclasses.replace(CFG, compact_rays=True, sort_rays=True,
+                                max_depth=3)
+    cfg_p = dataclasses.replace(CFG, compact_rays=False, sort_rays=False,
+                                max_depth=3)
     a = np.asarray(render_frame(scene, cam, cfg_s, 2))
     b = np.asarray(render_frame(scene, cam, cfg_p, 2))
     np.testing.assert_array_equal(a, b)

@@ -36,7 +36,8 @@ def test_scan_matches_unroll_default():
 
 def test_scan_matches_unroll_rr_sort_fuse():
     cfg = dataclasses.replace(
-        BASE, max_depth=4, rr_start=1, sort_rays=True, fuse_shadows=True
+        BASE, max_depth=4, rr_start=1, compact_rays=True, sort_rays=True,
+        fuse_shadows=True
     )
     _, _, unroll, scan = _pair(cfg)
     assert_ulp_close(unroll, scan)
