@@ -55,9 +55,17 @@ def _top_row(top_ref, row):
     return lmin, lmax, rmin, rmax, li, ri, axis
 
 
+def _buf_read(buf_ref, slot, word):
+    """Scalar read of flat word offset from the (2, rows, 128) SMEM
+    brick window (HBM->SMEM DMA doesn't lower on this toolchain — probe
+    r4 — so bricks arrive via VMEM and the window keeps the DMA'd
+    (rows, 128) shape; flat offsets are divmod-addressed)."""
+    return buf_ref[slot, word // 128, word % 128]
+
+
 def _buf_row(buf_ref, slot, row):
     base = BRICK_HEADER_WORDS + row * 16
-    rd = lambda k: buf_ref[slot, base + k]
+    rd = lambda k: _buf_read(buf_ref, slot, base + k)
     lmin = (rd(0), rd(1), rd(2))
     lmax = (rd(3), rd(4), rd(5))
     rmin = (rd(6), rd(7), rd(8))
@@ -70,7 +78,7 @@ def _buf_row(buf_ref, slot, row):
 
 def _buf_tri(buf_ref, slot, tris_off, ti):
     base = tris_off + ti * 9
-    rd = lambda k: buf_ref[slot, base + k]
+    rd = lambda k: _buf_read(buf_ref, slot, base + k)
     return (rd(0), rd(1), rd(2)), (rd(3), rd(4), rd(5)), (rd(6), rd(7),
                                                           rd(8))
 
@@ -82,10 +90,10 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
     def kernel(dsign_ref, top_ref, rays_ref, bricks_ref, *refs):
         if closest:
             t_ref, tri_ref, b1_ref, b2_ref, iters_ref = refs[:5]
-            stack_ref, queue_ref, buf_ref, sem = refs[5:]
+            stack_ref, queue_ref, vbuf, buf_ref, sem_v, sem_s = refs[5:]
         else:
             occ_ref, iters_ref = refs[:2]
-            stack_ref, queue_ref, buf_ref, sem = refs[2:]
+            stack_ref, queue_ref, vbuf, buf_ref, sem_v, sem_s = refs[2:]
 
         tile = pl.program_id(0)
         ox = rays_ref[0, 0]
@@ -145,16 +153,31 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
             lambda s: s[0] > 0, top_body, (top0, jnp.int32(0))
         )
 
-        # ---- phase 2: double-buffered brick paging ----------------------
-        def dma(qi, slot):
+        # ---- phase 2: brick paging, 3-stage pipeline --------------------
+        # H_i: HBM brick -> VMEM slot; S_i: VMEM -> SMEM slot; W_i: walk.
+        # (HBM->SMEM directly doesn't lower — probe r4 — so bricks hop
+        # through VMEM; double-buffered slots overlap H/S with walks.)
+        def dma_h(qi, slot):
             return pltpu.make_async_copy(
-                bricks_ref.at[queue_ref[qi]], buf_ref.at[slot],
-                sem.at[slot],
+                bricks_ref.at[queue_ref[qi]], vbuf.at[slot],
+                sem_v.at[slot],
+            )
+
+        def dma_s(slot):
+            return pltpu.make_async_copy(
+                vbuf.at[slot], buf_ref.at[slot], sem_s.at[slot]
             )
 
         @pl.when(qn > 0)
         def _():
-            dma(0, 0).start()
+            d0 = dma_h(0, 0)
+            d0.start()
+            d0.wait()
+            dma_s(0).start()
+
+        @pl.when(qn > 1)
+        def _():
+            dma_h(1, 1).start()
 
         zero = jnp.zeros_like(t_max)
         if closest:
@@ -172,14 +195,23 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
             slot = jax.lax.rem(qi, 2)
             nslot = jax.lax.rem(qi + 1, 2)
 
+            dma_s(slot).wait()  # brick qi now in SMEM
+
             @pl.when(qi + 1 < qn)
             def _():
-                dma(qi + 1, nslot).start()
+                # brick qi+1's HBM fetch was started earlier; stage it
+                # into the other SMEM slot while we walk brick qi
+                dma_h(qi + 1, nslot).wait()
+                dma_s(nslot).start()
 
-            dma(qi, slot).wait()
-            tris_off = buf_ref[slot, 0].astype(jnp.int32)
-            tri_base = buf_ref[slot, 1].astype(jnp.int32)
-            n_tris = buf_ref[slot, 3].astype(jnp.int32)
+            @pl.when(qi + 2 < qn)
+            def _():
+                # vbuf[slot] is free again (its VMEM->SMEM copy is done)
+                dma_h(qi + 2, slot).start()
+
+            tris_off = _buf_read(buf_ref, slot, 0).astype(jnp.int32)
+            tri_base = _buf_read(buf_ref, slot, 1).astype(jnp.int32)
+            n_tris = _buf_read(buf_ref, slot, 3).astype(jnp.int32)
 
             # walk the brick (wide push-test, same arithmetic as the
             # resident kernel); stack is empty after phase 1 / prior brick
@@ -382,7 +414,9 @@ def _call_stream(mode, stream: StreamData, o, d, t_max, mask, *,
         scratch_shapes=[
             pltpu.SMEM((stream.brick_stack + 2,), jnp.int32),
             pltpu.SMEM((stream.n_bricks + 2,), jnp.int32),
-            pltpu.SMEM((2, stream.brick_words), jnp.float32),
+            pltpu.VMEM((2, stream.brick_words // 128, 128), jnp.float32),
+            pltpu.SMEM((2, stream.brick_words // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -399,7 +433,9 @@ def _call_stream(mode, stream: StreamData, o, d, t_max, mask, *,
         ) + (jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(dsign, top_flat, rays, stream.bricks)
+    )(dsign, top_flat, rays,
+      stream.bricks.reshape(stream.n_bricks, stream.brick_words // 128,
+                            128))
     return outs, r
 
 

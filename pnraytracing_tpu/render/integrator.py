@@ -755,12 +755,47 @@ def _render_rays(
                     perm, _ = compact_indices(active)
                 if not static_bounce:
                     perm = jnp.where(is_last, arange_r, perm)
-                (active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
-                 seed, orig, px_l, py_l) = jax.tree_util.tree_map(
-                    lambda a: a[perm],
-                    (active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c,
-                     lo, seed, orig, px_l, py_l),
+                # Permute the whole carry through ONE wide-row gather:
+                # 25 [R] columns packed to [R, 32] move in a single
+                # gather pass instead of 25 separate ones (measured
+                # ~90 ms/bounce for per-array permutes at 512^2 — the
+                # round-4 stage profile's dominant cost).  Ids are exact
+                # small-int floats; the u32 seed splits into two 16-bit
+                # halves to stay exact in f32.
+                f32 = lambda a: a.astype(jnp.float32)
+                seed_lo = f32(seed & jnp.uint32(0xFFFF))
+                seed_hi = f32(seed >> jnp.uint32(16))
+                cols = [
+                    f32(active),
+                    pos.x, pos.y, pos.z,
+                    nrm.x, nrm.y, nrm.z,
+                    u_uv, v_uv,
+                    f32(mat_id), f32(tex_id),
+                    v_dir.x, v_dir.y, v_dir.z,
+                    c.x, c.y, c.z,
+                    lo.x, lo.y, lo.z,
+                    seed_lo, seed_hi,
+                    f32(orig), f32(px_l), f32(py_l),
+                ]
+                packed = jnp.stack(cols, axis=1)[perm]  # [R, 25] row gather
+                col = lambda k: packed[:, k]
+                i32c = lambda k: col(k).astype(jnp.int32)
+                active = col(0) > 0.5
+                pos = V3(col(1), col(2), col(3))
+                nrm = V3(col(4), col(5), col(6))
+                u_uv, v_uv = col(7), col(8)
+                mat_id, tex_id = i32c(9), i32c(10)
+                v_dir = V3(col(11), col(12), col(13))
+                c = V3(col(14), col(15), col(16))
+                lo = V3(col(17), col(18), col(19))
+                seed = (
+                    col(20).astype(jnp.uint32)
+                    | (col(21).astype(jnp.uint32) << jnp.uint32(16))
                 )
+                orig = i32c(22)
+                # pixel coords are u32 < 2^24 (exact in f32)
+                px_l = col(23).astype(jnp.uint32)
+                py_l = col(24).astype(jnp.uint32)
 
         carry = (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
                  c, lo, orig, px_l, py_l)

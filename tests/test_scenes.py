@@ -61,9 +61,18 @@ def test_config2_light_list():
 
 
 def test_config3_has_env():
+    import jax
+
     scene, cam = scenes.config3_teapot_night(env_height=32)
     assert scene.env is not None
-    img = _render(scene, cam)
+    # This exact program's XLA:CPU executable segfaults the persistent
+    # cache's serialize() (reproduced twice at compilation_cache.py:265);
+    # skip caching it — the render itself is fine.
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        img = _render(scene, cam)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
     assert np.isfinite(img).all()
 
 
