@@ -78,25 +78,27 @@ class RenderConfig:
     # so later bounces only pay for tiles that still hold live rays.
     # Results are bit-identical (pure permutation; per-ray RNG state and
     # pixel ids travel with the ray).
-    # Default OFF since round 4: the Mosaic packet kernel already drains
-    # dead tiles in ~1 iteration, and the 14-array permutation costs
-    # ~110 ms per bounce at 512^2 on the chip — the flagship frame ran
-    # 509 ms with compaction vs 237 ms without (stage_profile round 4).
-    # Turn back on for the XLA loop backends on large/deep scenes.
-    compact_rays: bool = False
+    # Round-4 history: with the original 25-pass per-array permutation
+    # this cost ~90 ms/bounce and was turned off (509 -> 237 ms/frame);
+    # after the permute became ONE packed [R, 32]-row gather, compaction
+    # PLUS the coherence sort won the frame A/B (tile_sweep: 232 ms
+    # plain vs 183 ms compact+sort-pos), so both default on again.
+    compact_rays: bool = True
 
     # When compacting, additionally sort live rays by a spatial-directional
     # coherence key (normal octant + position cell) so each traversal tile
     # of the next bounce holds similar rays — the tile exits at its local
     # max stack depth, so coherence converts directly into fewer loop
-    # iterations.  Pure permutation; images are bit-identical.
-    sort_rays: bool = False
+    # iterations.  Pure permutation (values bit-exact; compiled-program
+    # FMA contraction may differ by an ulp).  Round-4 chip A/B: the
+    # Morton position sort cut the flagship frame 232 -> 183 ms.
+    sort_rays: bool = True
 
     # Sort key: 'dir' = normal-octant-major (octant, |n|, position cell);
     # 'pos' = position-major Morton (position cell bits interleaved,
     # octant last) — rays from one region share near subtrees, so 'pos'
-    # can tighten packet unions more.  A/B knob.
-    sort_key: str = "dir"
+    # can tighten packet unions more.  A/B knob ('pos' won round 4).
+    sort_key: str = "pos"
 
     # Bounce-loop construction.  'unroll' emits max_depth copies of the
     # bounce body (best steady-state code); 'scan' drives one compiled body

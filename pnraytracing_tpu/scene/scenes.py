@@ -204,7 +204,7 @@ def config2_teapot(flat_bvh: bool = False):
     return scene, _camera((0, 5, 5), (0, 0.8, 0), 45.0)
 
 
-def config3_teapot_night(env_height: int = 256):
+def config3_teapot_night(env_height: int = 256, max_leaf_size: int = 4):
     """Config 3: teapot + area light + night HDR env with MIS + full
     Disney BRDF."""
     b = SceneBuilder()
@@ -218,7 +218,8 @@ def config3_teapot_night(env_height: int = 256):
         name="lamp",
         transform=compose(translate(-2.5, 5, 0), rotate(180, (0, 0, 1))),
     )
-    scene = b.build(env_image=night_hdr(env_height))
+    scene = b.build(env_image=night_hdr(env_height),
+                    max_leaf_size=max_leaf_size)
     return scene, _camera((0, 5, 5), (0, 0.8, 0), 45.0)
 
 

@@ -32,13 +32,19 @@ def log(*a):
 
 
 def timed(name, fn, *args, n=10, fetch=None):
+    import jax.numpy as _jnp
+
     out = fn(*args)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    # fetch bounds the dispatch queue (BASELINE.md integrity notes)
+    # fetch bounds the dispatch queue (BASELINE.md integrity notes); the
+    # fetched value must be a SCALAR — pulling a full array through the
+    # tunnel adds ~10 ms and poisoned the round-4 first-pass numbers
     leaf = jax.tree_util.tree_leaves(out)[0] if fetch is None else fetch(out)
+    if getattr(leaf, "ndim", 0):
+        leaf = _jnp.sum(leaf.astype(_jnp.float32))
     np.asarray(leaf)
     dt = (time.perf_counter() - t0) / n
     log(f"{name:34s}: {dt*1e3:8.2f} ms")
@@ -100,12 +106,15 @@ def main():
           fetch=lambda x: x.sum())
     import dataclasses
     for label, over in [
-        ("frame no-compact", dict(compact_rays=False)),
-        ("frame sort dir", dict(sort_rays=True, sort_key="dir")),
-        ("frame sort pos", dict(sort_rays=True, sort_key="pos")),
+        ("frame compact", dict(compact_rays=True)),
+        ("frame compact+sort dir", dict(compact_rays=True, sort_rays=True,
+                                        sort_key="dir")),
+        ("frame compact+sort pos", dict(compact_rays=True, sort_rays=True,
+                                        sort_key="pos")),
         ("frame no-fuse", dict(fuse_shadows=False)),
         ("frame depth=1", dict(max_depth=1)),
         ("frame depth=2", dict(max_depth=2)),
+        ("frame depth=3", dict(max_depth=3)),
     ]:
         c2 = dataclasses.replace(cfg, **over)
         f2 = jax.jit(lambda fr, c2=c2: render_average(scene, camera, c2,

@@ -24,3 +24,43 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".jax_cache_cpu", host_cpu_tag()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# --- segfault-proof cache writes ------------------------------------------
+# This jax/XLA build's CPU `executable.serialize()` SEGFAULTS for some
+# programs (reproduced 3x, different tests each time, always at
+# compilation_cache.py:265).  Probe each serialization in a forked child
+# first; if the child dies, skip caching that one entry (it just
+# recompiles next run) instead of killing the whole test session.
+import signal  # noqa: E402
+
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _serialize_survives(executable) -> bool:
+    pid = os.fork()
+    if pid == 0:  # child: attempt the possibly-crashing serialize
+        try:
+            signal.alarm(60)  # a fork of a threaded process can deadlock
+            executable.serialize()
+            os._exit(0)
+        except BaseException:
+            os._exit(1)
+    _, status = os.waitpid(pid, 0)
+    return os.WIFEXITED(status) and os.WEXITSTATUS(status) == 0
+
+
+def _safe_put(cache_key, module_name, executable, backend, compile_time):
+    try:
+        ok = _serialize_survives(executable)
+    except OSError:
+        ok = True  # fork unavailable: fall through to the normal path
+    if ok:
+        return _orig_put(cache_key, module_name, executable, backend,
+                         compile_time)
+    print(f"[conftest] skipped caching {module_name}: executable "
+          "serialization crashes on this build", flush=True)
+
+
+_cc.put_executable_and_time = _safe_put

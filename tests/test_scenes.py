@@ -61,18 +61,12 @@ def test_config2_light_list():
 
 
 def test_config3_has_env():
-    import jax
-
+    # NOTE: this program's XLA:CPU executable serialization used to
+    # segfault the persistent-cache write; conftest's fork-probe guard
+    # now skips crashing cache entries globally.
     scene, cam = scenes.config3_teapot_night(env_height=32)
     assert scene.env is not None
-    # This exact program's XLA:CPU executable segfaults the persistent
-    # cache's serialize() (reproduced twice at compilation_cache.py:265);
-    # skip caching it — the render itself is fine.
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        img = _render(scene, cam)
-    finally:
-        jax.config.update("jax_enable_compilation_cache", True)
+    img = _render(scene, cam)
     assert np.isfinite(img).all()
 
 
