@@ -206,7 +206,7 @@ def _closest_kernel(
     tri_ref[0] = tri_best
     b1_ref[0] = b1_best
     b2_ref[0] = b2_best
-    iters_ref[tile, 0] = iters
+    iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
 
 
 def _any_kernel(
@@ -278,7 +278,7 @@ def _any_kernel(
         (top0, jnp.int32(0), jnp.zeros(t_max.shape, jnp.int32)),
     )
     occ_ref[0] = occ
-    iters_ref[tile, 0] = iters
+    iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
 
 
 def _wide_row(scene_ref, row):
@@ -402,7 +402,7 @@ def _closest_kernel_wide(
     tri_ref[0] = tri_best
     b1_ref[0] = b1_best
     b2_ref[0] = b2_best
-    iters_ref[tile, 0] = iters
+    iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
 
 
 def _any_kernel_wide(
@@ -489,7 +489,7 @@ def _any_kernel_wide(
         (top0, jnp.int32(0), jnp.zeros(t_max.shape, jnp.int32)),
     )
     occ_ref[0] = occ
-    iters_ref[tile, 0] = iters
+    iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
 
 
 def _ray_comps(v):
@@ -585,11 +585,12 @@ def _call_kernel(
             )
             for _ in range(n_outs)
         ) + (
-            # SMEM outputs can't be blocked per grid step (tiling
-            # divisibility); expose the whole [n_tiles, 1] array and let
-            # each program write its own row
-            pl.BlockSpec((n_tiles, 1), lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
+            # per-tile iteration stats: a (1, 128) VMEM block per grid
+            # step (an SMEM whole-array window pads the minor dim to
+            # 128 — 1 MB of scalar memory at 2048 tiles, which OOM'd
+            # the 2048^2 config5 frame compile)
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
     )
@@ -599,7 +600,7 @@ def _call_kernel(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_tiles, sub, 128), dt) for dt in dtypes
-        ) + (jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),),
+        ) + (jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),),
         grid_spec=grid_spec,
         interpret=interpret,
     )(dsign, scene, rays)
@@ -647,7 +648,7 @@ def closest_hit_pallas(
         b2=b2.reshape(-1)[:r],
     )
     if with_stats:
-        return hit, iters
+        return hit, iters[:, 0, :1]
     return hit
 
 
@@ -687,5 +688,5 @@ def any_hit_pallas(
     )
     out = occ.reshape(-1)[:r] > 0
     if with_stats:
-        return out, iters
+        return out, iters[:, 0, :1]
     return out

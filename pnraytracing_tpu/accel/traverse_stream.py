@@ -371,11 +371,11 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
             tri_ref[0] = tri_best
             b1_ref[0] = b1_best
             b2_ref[0] = b2_best
-            iters_ref[tile, 0] = iters
+            iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
         else:
             occ, iters = carry
             occ_ref[0] = occ
-            iters_ref[tile, 0] = iters
+            iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
 
     return kernel
 
@@ -408,8 +408,11 @@ def _call_stream(mode, stream: StreamData, o, d, t_max, mask, *,
             )
             for _ in range(n_outs)
         ) + (
-            pl.BlockSpec((n_tiles, 1), lambda i, *_: (0, 0),
-                         memory_space=pltpu.SMEM),
+            # per-tile iteration stats as a (1, 128) VMEM block (SMEM
+            # whole-array windows pad the minor dim to 128 and OOM at
+            # large tile counts)
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.SMEM((stream.brick_stack + 2,), jnp.int32),
@@ -430,7 +433,7 @@ def _call_stream(mode, stream: StreamData, o, d, t_max, mask, *,
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_tiles, sub, 128), dt) for dt in dtypes
-        ) + (jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),),
+        ) + (jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),),
         grid_spec=grid_spec,
         interpret=interpret,
     )(dsign, top_flat, rays,
@@ -473,7 +476,7 @@ def closest_hit_stream(
         b2=b2.reshape(-1)[:r],
     )
     if with_stats:
-        return hit, iters
+        return hit, iters[:, 0, :1]
     return hit
 
 
@@ -506,5 +509,5 @@ def any_hit_stream(
     )
     out = occ.reshape(-1)[:r] > 0
     if with_stats:
-        return out, iters
+        return out, iters[:, 0, :1]
     return out

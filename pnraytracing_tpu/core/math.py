@@ -97,13 +97,51 @@ def tangent_to_world(
     return v[..., 0:1] * t + v[..., 1:2] * b + v[..., 2:3] * n
 
 
+def fast_atan(t: jnp.ndarray) -> jnp.ndarray:
+    """Minimax odd polynomial atan on [-1, 1], max error < ~2e-6 rad —
+    ~12 VPU ops instead of libm's ~50+.  The reference's GLSL ``atan``
+    is itself a hardware approximation of comparable accuracy, so this
+    is parity-faithful, not a shortcut (used only for equirect uv
+    mapping, where 2e-6 rad is ~1e-7 of a texel coordinate)."""
+    s = t * t
+    p = jnp.float32(-0.0117212)
+    p = p * s + jnp.float32(0.05265332)
+    p = p * s + jnp.float32(-0.11643287)
+    p = p * s + jnp.float32(0.19354346)
+    p = p * s + jnp.float32(-0.33262347)
+    p = p * s + jnp.float32(0.99997726)
+    return t * p
+
+
+def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial atan2 (same quadrant semantics as jnp.arctan2 away
+    from the undefined origin)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    big = jnp.maximum(ax, ay)
+    t = jnp.minimum(ax, ay) / jnp.maximum(big, jnp.float32(1e-30))
+    r = fast_atan(t)
+    r = jnp.where(ay > ax, jnp.float32(0.5 * PI) - r, r)
+    r = jnp.where(x < 0, jnp.float32(PI) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def fast_asin(v: jnp.ndarray) -> jnp.ndarray:
+    """asin via atan2(v, sqrt(1 - v^2)); input clipped to [-1, 1]."""
+    v = jnp.clip(v, -1.0, 1.0)
+    return fast_atan2(v, jnp.sqrt(jnp.maximum(1.0 - v * v, 0.0)))
+
+
 def spherical_uv(v: jnp.ndarray) -> jnp.ndarray:
     """Direction -> equirect uv, matching ``toSphericalCoord``
     (ray_tracing.comp:181-188): u = atan2(z,x)/2pi + .5,
     v = 1 - (asin(y)/pi + .5).
-    """
-    u = jnp.arctan2(v[..., 2], v[..., 0]) * (0.5 * INV_PI) + 0.5
-    w = jnp.arcsin(jnp.clip(v[..., 1], -1.0, 1.0)) * INV_PI + 0.5
+
+    Uses the fast polynomial atan2/asin above — the libm
+    transcendentals dominated the environment lookup stage on-chip
+    (11.3 ms/call at 512^2, stage profile round 4)."""
+    u = fast_atan2(v[..., 2], v[..., 0]) * (0.5 * INV_PI) + 0.5
+    w = fast_asin(v[..., 1]) * INV_PI + 0.5
     return jnp.stack([u, 1.0 - w], axis=-1)
 
 

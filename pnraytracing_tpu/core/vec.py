@@ -174,9 +174,10 @@ def tangent_to_world_v(t: V3, b: V3, n: V3, v: V3) -> V3:
 
 def spherical_uv_v(v: V3) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Direction -> equirect (u, v) scalars (toSphericalCoord,
-    ray_tracing.comp:181-188)."""
-    from pnraytracing_tpu.core.math import INV_PI
+    ray_tracing.comp:181-188).  Fast polynomial atan2/asin — see
+    core/math.py::fast_atan."""
+    from pnraytracing_tpu.core.math import INV_PI, fast_asin, fast_atan2
 
-    u = jnp.arctan2(v.z, v.x) * (0.5 * INV_PI) + 0.5
-    w = jnp.arcsin(jnp.clip(v.y, -1.0, 1.0)) * INV_PI + 0.5
+    u = fast_atan2(v.z, v.x) * (0.5 * INV_PI) + 0.5
+    w = fast_asin(v.y) * INV_PI + 0.5
     return u, 1.0 - w

@@ -34,18 +34,24 @@ def log(*a):
 def timed(name, fn, *args, n=10, fetch=None):
     import jax.numpy as _jnp
 
+    def scalar_of(out):
+        # the fetched value must be a SCALAR — pulling a full array
+        # through the tunnel adds ~10 ms per call
+        leaf = (jax.tree_util.tree_leaves(out)[0] if fetch is None
+                else fetch(out))
+        if getattr(leaf, "ndim", 0):
+            leaf = _jnp.sum(leaf.astype(_jnp.float32))
+        return leaf
+
     out = fn(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    # warm BOTH programs (fn and the reduce) — compiling the reduce
+    # inside the timed region poisoned a profile pass once already
+    np.asarray(scalar_of(out))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    # fetch bounds the dispatch queue (BASELINE.md integrity notes); the
-    # fetched value must be a SCALAR — pulling a full array through the
-    # tunnel adds ~10 ms and poisoned the round-4 first-pass numbers
-    leaf = jax.tree_util.tree_leaves(out)[0] if fetch is None else fetch(out)
-    if getattr(leaf, "ndim", 0):
-        leaf = _jnp.sum(leaf.astype(_jnp.float32))
-    np.asarray(leaf)
+    # fetching the scalar bounds every timed dispatch (BASELINE.md)
+    np.asarray(scalar_of(out))
     dt = (time.perf_counter() - t0) / n
     log(f"{name:34s}: {dt*1e3:8.2f} ms")
     return out
@@ -239,15 +245,41 @@ def main():
     timed("closest continuation (inc)", f_cont, pos, new_d, hit.valid,
           n=n, fetch=lambda h: h.t)
 
-    # compaction permutation applied to the full carry (14 arrays)
+    # the integrator's REAL bounce workload: same rays, Morton-sorted
+    root_ = trav.nodes8[0]
+    lo_b_, hi_b_ = root_[0:3], root_[3:6]
+    inv_ext_ = 1.0 / jnp.maximum(hi_b_ - lo_b_, 1e-6)
+    from pnraytracing_tpu.ops.compaction import coherence_key_pos
+
+    def _cont_sorted(mm):
+        perm, _ = sort_live_first(
+            mm, coherence_key_pos(nrm, pos, lo_b_, inv_ext_))
+        return closest_hit_pallas(trav, pos[perm], new_d[perm], t_max,
+                                  mm[perm], **kw)
+
+    timed("closest continuation (sorted)", jax.jit(_cont_sorted),
+          hit.valid, n=n, fetch=lambda h: h.t)
+
+    # compaction permutation — the integrator's packed-carry form: 25
+    # columns through ONE [R, 32]-row gather
+    def _pack_carry(mm, seed_, perm):
+        f32 = lambda a: a.astype(jnp.float32)
+        cols = [
+            f32(mm), pos.x, pos.y, pos.z, nrm.x, nrm.y, nrm.z,
+            u_uv, v_uv, f32(mat_id), f32(tex_id),
+            v_dir.x, v_dir.y, v_dir.z, pos.x, pos.y, pos.z,
+            nrm.x, nrm.y, nrm.z,
+            f32(seed_ & jnp.uint32(0xFFFF)), f32(seed_ >> jnp.uint32(16)),
+            f32(mat_id), f32(px), f32(py),
+        ]
+        return jnp.stack(cols, axis=1)[perm]
+
     def _compact(mm, seed_):
         perm, _ = compact_indices(mm)
-        carry = (mm, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
-                 pos, nrm, seed_, mat_id, px, py)
-        return jax.tree_util.tree_map(lambda a: a[perm], carry)
+        return _pack_carry(mm, seed_, perm)
 
-    timed("compact permute x14 arrays", jax.jit(_compact), hit.valid,
-          seed, n=n, fetch=lambda t: t[1].x)
+    timed("compact packed-carry permute", jax.jit(_compact), hit.valid,
+          seed, n=n, fetch=lambda t: t)
 
     # sorted variant
     root = trav.nodes8[0]
@@ -256,12 +288,10 @@ def main():
 
     def _sorted(mm, seed_):
         perm, _ = sort_live_first(mm, coherence_key(nrm, pos, lo_b, inv_ext))
-        carry = (mm, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
-                 pos, nrm, seed_, mat_id, px, py)
-        return jax.tree_util.tree_map(lambda a: a[perm], carry)
+        return _pack_carry(mm, seed_, perm)
 
-    timed("sort+permute x14 arrays", jax.jit(_sorted), hit.valid, seed,
-          n=n, fetch=lambda t: t[1].x)
+    timed("sort packed-carry permute", jax.jit(_sorted), hit.valid, seed,
+          n=n, fetch=lambda t: t)
 
     # final radiance scatter to pixel order
     lo3 = (new_d.x, new_d.y, new_d.z)

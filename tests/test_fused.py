@@ -4,6 +4,8 @@ record/replay modes."""
 
 import dataclasses
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +31,7 @@ def test_fused_shadows_bit_identical():
     assert_ulp_close(sep, fused)
 
 
+@pytest.mark.slow
 def test_fused_record_replay():
     scene, cam = small_scene(with_env=True)
     o, d, px, py = rays(CFG, cam)

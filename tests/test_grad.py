@@ -2,6 +2,8 @@
 w.r.t. material parameters, environment texels and vertex positions
 (SURVEY.md §4 gradient plan / BASELINE config 4-5 gates)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,6 +54,7 @@ def loss_value(params, scene, o, d, px, py, target, cfg=CFG):
     return float(jnp.mean((img - target) ** 2))
 
 
+@pytest.mark.slow
 def test_material_gradient_finite_difference():
     scene, cam = tiny_scene()
     o, d, px, py, target = setup(scene, cam)

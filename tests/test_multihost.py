@@ -4,6 +4,8 @@ two OS processes x 4 CPU devices each form one 8-device mesh through
 render bit-for-bit (rays are independent; sharding must not change
 anything)."""
 
+import pytest
+
 import os
 import socket
 import subprocess
@@ -41,6 +43,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_render_matches_single_process(tmp_path):
     port = _free_port()
     out = tmp_path / "mh_img.npy"

@@ -2,6 +2,8 @@
 descent through the renderer (BASELINE config 5's differentiable
 optimization gate, shrunk to CPU scale)."""
 
+import pytest
+
 import numpy as np
 
 from pnraytracing_tpu.core.config import RenderConfig
@@ -25,6 +27,7 @@ def build(color):
     return b.build(env_constant=(0.85, 0.85, 0.85))
 
 
+@pytest.mark.slow
 def test_material_recovery():
     cam = _camera((3.2, 2.6, 3.2), (0, 0.9, 0), 45.0).basis()
     true_c = np.array([0.2, 0.5, 0.75])
@@ -64,6 +67,7 @@ def test_unconstrained_params_cannot_nan_forward():
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_geometry_recovery_translation():
     """Recover an in-plane triangle translation by gradient descent with
     refit_scene in the loop (SURVEY §4 / VERDICT r2 item 5).

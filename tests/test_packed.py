@@ -1,5 +1,7 @@
 """Packed traversal layout must be bit-equivalent to the generic one."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -151,6 +153,7 @@ def test_wide_leaf_info_roundtrip():
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(count))
 
 
+@pytest.mark.slow
 def test_pop_traversal_matches_packed():
     """The pop-test loop must produce identical hits to the push-test
     loop (same tests, different order; strict t < t_best keeps winners

@@ -5,6 +5,8 @@ which perturbs shading inputs at the ~1e-6 level)."""
 import numpy as np
 import dataclasses
 
+import pytest
+
 import jax
 
 from pnraytracing_tpu.core.config import RenderConfig
@@ -12,6 +14,7 @@ from pnraytracing_tpu.render.renderer import render_frame
 from pnraytracing_tpu.scene.scenes import config2_teapot
 
 
+@pytest.mark.slow
 def test_render_pallas_matches_packed():
     cfg = RenderConfig(width=48, height=48, max_depth=2, traversal="packed")
     scene, cam_state = config2_teapot()

@@ -41,6 +41,7 @@ def setup():
     return scene, o, d, px, py
 
 
+@pytest.mark.slow
 def test_sharded_render_equals_single_device(setup):
     scene, o, d, px, py = setup
     mesh = make_device_mesh(8)
@@ -66,6 +67,7 @@ def test_sharded_render_odd_ray_count(setup):
     np.testing.assert_allclose(sharded, single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_gradients_match_single_device(setup):
     scene, o, d, px, py = setup
     mesh = make_device_mesh(8)
@@ -86,6 +88,7 @@ def test_dp_gradients_match_single_device(setup):
                                    atol=1e-7)
 
 
+@pytest.mark.slow
 def test_dp_replay_gradients_match(setup):
     """The trace/replay dp step must give the same loss and gradients as
     the live dp step (same estimator; traversal hoisted out of autodiff)."""
@@ -107,6 +110,7 @@ def test_dp_replay_gradients_match(setup):
                                    atol=1e-8)
 
 
+@pytest.mark.slow
 def test_mesh_subset_sizes(setup):
     scene, o, d, px, py = setup
     for n in (2, 4):
@@ -116,6 +120,7 @@ def test_mesh_subset_sizes(setup):
         np.testing.assert_allclose(out, single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_gradients_with_padding(setup):
     """Ray counts not divisible by the mesh: padded rays must not
     contaminate the loss or gradients."""

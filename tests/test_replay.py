@@ -3,6 +3,8 @@ integrator exactly up to compiler rounding, and the replay-based gradient step m
 live gradient step (it is the same estimator with traversal hoisted out of
 the differentiated graph)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -67,6 +69,7 @@ def rays(cfg, cam):
     return o, d, px, py
 
 
+@pytest.mark.slow
 def test_replay_forward_bit_identical():
     # compaction ON in the live/trace pass; replay skips it — still exact
     cfg = RenderConfig(width=16, height=16, max_depth=3, compact_rays=True,
@@ -80,6 +83,7 @@ def test_replay_forward_bit_identical():
     assert_ulp_close(live, replay)
 
 
+@pytest.mark.slow
 def test_replay_forward_bit_identical_no_env_rr():
     cfg = RenderConfig(width=16, height=16, max_depth=4, rr_start=1,
                        sampler="hash", clamp_radiance=False)
@@ -93,6 +97,7 @@ def test_replay_forward_bit_identical_no_env_rr():
     assert_ulp_close(live, replay)
 
 
+@pytest.mark.slow
 def test_replay_graph_drops_traversal_loops():
     # the replay graph may keep searchsorted's log-sized bisection loops,
     # but every BVH-traversal while loop (2 per bounce + 1 primary in the
@@ -116,6 +121,7 @@ def test_replay_graph_drops_traversal_loops():
     assert n_whiles(replay) < n_whiles(live)
 
 
+@pytest.mark.slow
 def test_replay_gradients_match_live():
     cfg = RenderConfig(width=12, height=12, max_depth=2, sampler="hash",
                        clamp_radiance=False)

@@ -118,3 +118,23 @@ def test_cosine_hemisphere_default_distribution():
     np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0, atol=1e-4)
     # E[cos(theta)] for pdf cos/pi is 2/3
     np.testing.assert_allclose(d[:, 2].mean(), 2 / 3, atol=0.01)
+
+
+def test_fast_trig_accuracy():
+    """fast_atan2/fast_asin must stay within ~2e-6 rad of libm over the
+    full circle (the equirect mapping's accuracy budget)."""
+    import numpy as np
+
+    from pnraytracing_tpu.core.math import fast_asin, fast_atan2
+
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(200000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    got = np.asarray(fast_atan2(jnp.asarray(d[:, 2]), jnp.asarray(d[:, 0])))
+    want = np.arctan2(d[:, 2], d[:, 0])
+    err = np.abs(got - want)
+    err = np.minimum(err, 2 * np.pi - err)  # seam wrap
+    assert err.max() < 3e-6, err.max()
+    got = np.asarray(fast_asin(jnp.asarray(d[:, 1])))
+    want = np.arcsin(np.clip(d[:, 1], -1, 1))
+    assert np.abs(got - want).max() < 3e-6

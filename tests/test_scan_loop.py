@@ -4,6 +4,8 @@ record and replay modes."""
 
 import dataclasses
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,11 +31,13 @@ def _pair(cfg, with_env=True, frame=3):
     return scene, (o, d, px, py), unroll, scan
 
 
+@pytest.mark.slow
 def test_scan_matches_unroll_default():
     _, _, unroll, scan = _pair(BASE)
     assert_ulp_close(unroll, scan)
 
 
+@pytest.mark.slow
 def test_scan_matches_unroll_rr_sort_fuse():
     cfg = dataclasses.replace(
         BASE, max_depth=4, rr_start=1, compact_rays=True, sort_rays=True,

@@ -1,6 +1,7 @@
 """Interactive session semantics (main.cpp:589-601) and checkpointing."""
 
 import numpy as np
+import pytest
 
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.render.session import RenderSession
@@ -23,6 +24,7 @@ def make_session():
     return RenderSession(scene, cam, CFG)
 
 
+@pytest.mark.slow
 def test_progressive_accumulation_advances():
     s = make_session()
     s.step()

@@ -2,6 +2,8 @@
 
 import dataclasses
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -75,6 +77,7 @@ def test_any_hit_wide4_matches_oracle():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_overflow_fallback_exact():
     """A 2-slot buffer overflows constantly; the pop fallback must restore
     exact results."""
@@ -93,6 +96,7 @@ def test_overflow_fallback_exact():
     np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
 
 
+@pytest.mark.slow
 def test_wide4_full_render_matches_packed():
     import sys
 
