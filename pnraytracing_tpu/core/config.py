@@ -137,6 +137,14 @@ class RenderConfig:
     # Environment light. Constant-color env when the scene has no HDR map.
     env_scale: float = 1.0
 
+    # Trilinear mip-mapped texture sampling (ray-cone LOD).  None keeps
+    # the reference's effective behavior: it BUILDS mipmaps
+    # (main.cpp:541-546) but its compute-shader texture() has no
+    # implicit derivatives, so fetches hit LOD 0.  Set to the camera's
+    # pixel angle (2*tan(fov/2)/height) to enable: per-ray
+    # lod = log2(path_distance * scale * texture_size).
+    texture_lod_scale: float | None = None
+
     def __post_init__(self):
         assert self.loop in ("unroll", "scan")
         assert self.sampler in ("sobol", "hash")

@@ -310,6 +310,16 @@ class TextureAtlas:
 
     data: jnp.ndarray  # [K, H, W, 3] f32 in [0, 1]
     sizes: jnp.ndarray  # [K, 2] i32 actual (width, height) per texture
+    # Mip strip (levels >= 1, box-filtered, ops/texture.py::build_atlas):
+    # level l of texture k occupies rows [h_k - (h_k >> (l-1)),
+    # h_k - (h_k >> l)) at width w_k >> l — total height <= H, so the
+    # whole pyramid costs one extra [K, H, W, 3] array.  The reference
+    # builds mipmaps + trilinear samplers (main.cpp:541-546); its
+    # compute-shader texture() fetches LOD 0 (no implicit derivatives in
+    # compute), so base-level-only remains the parity default and the
+    # strip feeds the optional trilinear path (RenderConfig
+    # .texture_lod_scale).  None when textures were built without mips.
+    mips: jnp.ndarray | None = None  # [K, H, W, 3] f32
 
     @property
     def count(self) -> int:

@@ -489,7 +489,7 @@ def _render_rays(
 
     def bounce_body(carry, bounce, brec):
         (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
-         orig, px_l, py_l) = carry
+         orig, px_l, py_l, path_t) = carry
         static_bounce = isinstance(bounce, int)
 
         mat_tbl = materials.sanitized()  # clamp per-material ([M] tables)
@@ -498,9 +498,27 @@ def _render_rays(
         mat, cdlin, _mat_emis = mat_tbl.gather_components(mat_id)
         if has_tex:
             uv2 = jnp.stack([u_uv, v_uv], axis=-1)
-            cdlin = V3.of(fetch_base_color(
-                scene.textures, tex_id, uv2, cdlin.rows()
-            ))
+            if (cfg.texture_lod_scale is not None
+                    and scene.textures.mips is not None):
+                # ray-cone LOD: footprint ~ path distance x pixel angle
+                from pnraytracing_tpu.ops.texture import (
+                    fetch_base_color_trilinear,
+                )
+
+                whs = scene.textures.sizes[
+                    jnp.maximum(tex_id, 0)
+                ].astype(jnp.float32)
+                texdim = jnp.maximum(whs[:, 0], whs[:, 1])
+                lod = jnp.log2(jnp.maximum(
+                    path_t * cfg.texture_lod_scale * texdim, 1.0
+                ))
+                cdlin = V3.of(fetch_base_color_trilinear(
+                    scene.textures, tex_id, uv2, cdlin.rows(), lod
+                ))
+            else:
+                cdlin = V3.of(fetch_base_color(
+                    scene.textures, tex_id, uv2, cdlin.rows()
+                ))
         t_tan, b_tan = build_tangent_space_v(nrm)
 
         zero_r = jnp.zeros((r,), jnp.float32)
@@ -708,6 +726,7 @@ def _render_rays(
 
         # throughput update and state roll (comp:968-969)
         c = vwhere(hit_now, c * weight, c)
+        path_t = jnp.where(hit_now, path_t + hit2.t, path_t)
         v_dir = vwhere(hit_now, -l_out, v_dir)
         pos = vwhere(hit_now, pos2, pos)
         nrm = vwhere(hit_now, nrm2, nrm)
@@ -775,7 +794,7 @@ def _render_rays(
                     c.x, c.y, c.z,
                     lo.x, lo.y, lo.z,
                     seed_lo, seed_hi,
-                    f32(orig), f32(px_l), f32(py_l),
+                    f32(orig), f32(px_l), f32(py_l), path_t,
                 ]
                 packed = jnp.stack(cols, axis=1)[perm]  # [R, 25] row gather
                 col = lambda k: packed[:, k]
@@ -796,9 +815,10 @@ def _render_rays(
                 # pixel coords are u32 < 2^24 (exact in f32)
                 px_l = col(23).astype(jnp.uint32)
                 py_l = col(24).astype(jnp.uint32)
+                path_t = col(25)
 
         carry = (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
-                 c, lo, orig, px_l, py_l)
+                 c, lo, orig, px_l, py_l, path_t)
         out_rec = (rec_occ, rec_eocc, rec_hit2) if record else jnp.int32(0)
         return carry, out_rec
 
@@ -811,6 +831,7 @@ def _render_rays(
         seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, -d_v,
         V3(ones_r, ones_r, ones_r), V3(zeros_r, zeros_r, zeros_r),
         arange_r, px, py,
+        jnp.where(primary_hit, hit.t, zeros_r),  # path distance (LOD cone)
     )
 
     if cfg.loop == "scan":
@@ -848,7 +869,7 @@ def _render_rays(
         )
 
     (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
-     orig, px_l, py_l) = carry
+     orig, px_l, py_l, path_t) = carry
 
     # restore original ray order after compaction permutations
     lo = lo.map(lambda a: jnp.zeros_like(a).at[orig].set(a))

@@ -190,3 +190,50 @@ def test_sorted_compaction_bit_identical():
     b = np.asarray(render_frame(scene, cam, cfg_p, 2))
     np.testing.assert_allclose(a, b, rtol=3e-7, atol=1e-6)
     assert (a == b).mean() > 0.95  # near-universal exact equality
+
+
+def test_trilinear_mip_textures():
+    """Mip strip invariants + the trilinear path: lod=0 equals the
+    base-level bilinear fetch; large lod converges to the texture mean;
+    a textured render with ray-cone LOD enabled stays finite."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pnraytracing_tpu.ops.texture import (
+        build_atlas,
+        fetch_base_color,
+        fetch_base_color_trilinear,
+    )
+    from pnraytracing_tpu.scene.scenes import checkerboard
+
+    img = np.asarray(checkerboard(64, 8, (1, 0, 0), (0, 0, 1)))
+    atlas = build_atlas([img])
+    assert atlas.mips is not None
+    rng = np.random.default_rng(0)
+    uv = jnp.asarray(rng.random((512, 2), dtype=np.float32))
+    tid = jnp.zeros((512,), jnp.int32)
+    base = jnp.full((512, 3), 0.5, jnp.float32)
+    a = fetch_base_color(atlas, tid, uv, base)
+    b = fetch_base_color_trilinear(atlas, tid, uv, base,
+                                   jnp.zeros((512,), jnp.float32))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # at the coarsest lod every tap reads the 1x1 level = global mean
+    c = fetch_base_color_trilinear(atlas, tid, uv, base,
+                                   jnp.full((512,), 20.0, jnp.float32))
+    mean = img.reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(np.asarray(c).mean(axis=0), mean, atol=2e-2)
+    assert np.asarray(c).std(axis=0).max() < 1e-3  # flat at 1x1 level
+
+    # end-to-end: textured scene with ray-cone LOD on
+    b2 = SceneBuilder()
+    b2.add(shapes.quad(2.0), dict(roughness=0.8), name="floor",
+           texture=checkerboard(32, 4, (1, 0, 0), (0, 0, 1)))
+    scene = b2.build(env_constant=(0.5, 0.5, 0.5))
+    cam = make_camera((0, 3, 3), (0, 0, 0), (0, 1, 0), 45.0, 1.0)
+    cfg = dataclasses.replace(
+        RenderConfig(width=16, height=16, max_depth=2, sampler="hash"),
+        texture_lod_scale=2.0 * np.tan(np.radians(22.5)) / 16,
+    )
+    img2 = np.asarray(render_frame(scene, cam, cfg, 0))
+    assert np.isfinite(img2).all()
