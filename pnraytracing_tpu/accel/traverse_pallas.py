@@ -107,14 +107,15 @@ def _tri_scalars(scene_ref, tri_base, ti):
 
 
 def _ray_components(rays_ref):
+    # block shape (8, 1, sub, 128): component-major, tile axis blocked
     ox = rays_ref[0, 0]
-    oy = rays_ref[0, 1]
-    oz = rays_ref[0, 2]
-    dx = rays_ref[0, 3]
-    dy = rays_ref[0, 4]
-    dz = rays_ref[0, 5]
-    t_max = rays_ref[0, 6]
-    active = rays_ref[0, 7] > 0.0
+    oy = rays_ref[1, 0]
+    oz = rays_ref[2, 0]
+    dx = rays_ref[3, 0]
+    dy = rays_ref[4, 0]
+    dz = rays_ref[5, 0]
+    t_max = rays_ref[6, 0]
+    active = rays_ref[7, 0] > 0.0
     return ox, oy, oz, dx, dy, dz, t_max, active
 
 
@@ -524,11 +525,13 @@ def _pack_inputs(trav, o, d, t_max, mask, tile_size):
         act = jnp.pad(act, (0, pad))
     n_tiles = (r + pad) // tile
 
+    # [8, R_pad] with the TILE axis second: the BlockSpec indexes axis 1,
+    # so no [n_tiles, 8, ...] transpose pass is materialized per call
     comps = jnp.stack(
         [ox, oy, oz, dx, dy, dz, t_max, act.astype(jnp.float32)],
         axis=0,
-    )  # [8, R_pad]
-    rays = comps.reshape(8, n_tiles, sub, 128).transpose(1, 0, 2, 3)
+    )
+    rays = comps.reshape(8, n_tiles, sub, 128)
 
     # near/far order per tile from the mean direction sign (same policy
     # as traverse_packet.py's per-tile dsum); padded/inactive lanes are
@@ -573,8 +576,8 @@ def _call_kernel(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, sub, 128),
-                lambda i, *_: (i, 0, 0, 0),
+                (8, 1, sub, 128),
+                lambda i, *_: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],

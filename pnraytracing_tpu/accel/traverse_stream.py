@@ -96,14 +96,15 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
             stack_ref, queue_ref, vbuf, buf_ref, sem_v, sem_s = refs[2:]
 
         tile = pl.program_id(0)
+        # block shape (8, 1, sub, 128): component-major, tile axis blocked
         ox = rays_ref[0, 0]
-        oy = rays_ref[0, 1]
-        oz = rays_ref[0, 2]
-        dx = rays_ref[0, 3]
-        dy = rays_ref[0, 4]
-        dz = rays_ref[0, 5]
-        t_max = rays_ref[0, 6]
-        active = rays_ref[0, 7] > 0.0
+        oy = rays_ref[1, 0]
+        oz = rays_ref[2, 0]
+        dx = rays_ref[3, 0]
+        dy = rays_ref[4, 0]
+        dz = rays_ref[5, 0]
+        t_max = rays_ref[6, 0]
+        active = rays_ref[7, 0] > 0.0
         inv_dx = _safe_inv_c(dx)
         inv_dy = _safe_inv_c(dy)
         inv_dz = _safe_inv_c(dz)
@@ -395,8 +396,8 @@ def _call_stream(mode, stream: StreamData, o, d, t_max, mask, *,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, sub, 128),
-                lambda i, *_: (i, 0, 0, 0),
+                (8, 1, sub, 128),
+                lambda i, *_: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # bricks stay in HBM

@@ -825,6 +825,9 @@ def _render_rays(
     active = primary_hit
     pos, nrm, (u_uv, v_uv), mat_id, tex_id = make_interaction(
         mesh, hit, d_v, o_v, rows=irows)
+    # primary emissive pickup (comp:986) from the mat ids just fetched —
+    # the compose step below would otherwise re-gather the [T, 26] table
+    primary_emissive = _emissive_of(materials, mat_id)
     ones_r = jnp.ones((r,), jnp.float32)
     zeros_r = jnp.zeros((r,), jnp.float32)
     carry = (
@@ -875,10 +878,8 @@ def _render_rays(
     lo = lo.map(lambda a: jnp.zeros_like(a).at[orig].set(a))
 
     # ---- compose (comp:983-988): primary emissive + path radiance on hit,
-    # environment on miss
-    primary_emissive = _emissive_of(
-        materials, irows[jnp.maximum(hit.tri, 0), 24].astype(jnp.int32)
-    )
+    # environment on miss (primary_emissive computed at the primary
+    # interaction fill above)
     color_v = vwhere(primary_hit, primary_emissive + lo, miss_color)
     if cfg.clamp_radiance:
         color_v = color_v.map(lambda a: jnp.clip(a, 0.0, 1.0))
