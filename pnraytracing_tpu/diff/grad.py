@@ -56,11 +56,36 @@ def extract_params(scene: Scene, keys: Iterable[str]) -> dict:
 
 
 def apply_params(scene: Scene, params: dict) -> Scene:
-    """Graft an optimization-parameter pytree back onto a scene template."""
+    """Graft an optimization-parameter pytree back onto a scene template.
+
+    Environment grafting keeps the template's host-baked alias tables
+    when it has them: sampling cells from the (stale) tables with the
+    matching (stale) pdf stays an unbiased estimator — the pdf reported
+    is exactly the density actually sampled — while the RADIANCE fetched
+    at those cells is the new, differentiable image.  This keeps the
+    2-gather alias path in gradient graphs instead of falling back to
+    the ~log(H)-gather CDF bisection (measured: the bisection dominated
+    the replay backward pass), and it makes finite-difference checks
+    exact (the sampling distribution is frozen across evaluations).
+    Only the pdf/CDF arrays are rebuilt when the template has no baked
+    tables (in-graph refits)."""
     if "materials" in params:
         scene = scene.replace(materials=params["materials"])
     if "env_image" in params:
-        scene = scene.replace(env=build_envmap(params["env_image"]))
+        img = jnp.asarray(params["env_image"], jnp.float32)
+        env0 = scene.env
+        if env0 is not None and env0.alias_x is not None:
+            from pnraytracing_tpu.ops.envmap import _pack_quads
+
+            scene = scene.replace(env=env0.replace(
+                image=img,
+                quad12=_pack_quads(img),
+                # fat rows bake radiance -> stale AND detached; disable
+                # so sample_envmap_v takes the differentiable alias path
+                alias_fat=None,
+            ))
+        else:
+            scene = scene.replace(env=build_envmap(img))
     if "positions" in params:
         scene = scene.replace(mesh=scene.mesh.replace(positions=params["positions"]))
     return scene
