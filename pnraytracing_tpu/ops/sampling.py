@@ -153,6 +153,27 @@ def cranley_patterson_rotation(
     return jnp.where(shifted > 1.0, shifted - 1.0, shifted)
 
 
+def cranley_patterson_rotation_c(
+    su, sv, px: jnp.ndarray, py: jnp.ndarray, width: int, height: int
+):
+    """Component twin of :func:`cranley_patterson_rotation` — same
+    arithmetic on two flat [R] (or scalar) sample coordinates, no [R, 2]
+    materialization (which lane-pads 64x on TPU)."""
+    s = (
+        px.astype(jnp.uint32) * jnp.uint32(width) * jnp.uint32(1973)
+        + py.astype(jnp.uint32) * jnp.uint32(height) * jnp.uint32(9277)
+        + jnp.uint32(114514 // 1919) * jnp.uint32(26699)
+    ) | jnp.uint32(1)
+    s, u = rand01(s)
+    _, v = rand01(s)
+    a = su + u
+    b = sv + v
+    return (
+        jnp.where(a > 1.0, a - 1.0, a),
+        jnp.where(b > 1.0, b - 1.0, b),
+    )
+
+
 # --------------------------------------------------------------------------
 # Light & geometry sampling
 # --------------------------------------------------------------------------

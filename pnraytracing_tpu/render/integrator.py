@@ -73,7 +73,7 @@ from pnraytracing_tpu.ops.envmap import (
 )
 from pnraytracing_tpu.ops.intersect import Hit, intersect_triangle_c
 from pnraytracing_tpu.ops.sampling import (
-    cranley_patterson_rotation,
+    cranley_patterson_rotation_c,
     pick_light,
     pixel_seed,
     rand01,
@@ -622,9 +622,9 @@ def _render_rays(
         # --- BRDF sample (comp:928-934) -----------------------------------
         if cfg.sampler == "sobol":
             su, sv = sobol_vec2(frame + 1, bounce)
-            p2 = jnp.broadcast_to(jnp.stack([su, sv]), (r, 2))
-            p2 = cranley_patterson_rotation(p2, px_l, py_l, cfg.width, cfg.height)
-            r1, r2 = p2[..., 0], p2[..., 1]
+            r1, r2 = cranley_patterson_rotation_c(
+                su, sv, px_l, py_l, cfg.width, cfg.height
+            )
         else:
             seed, r1 = rand01(seed)
             seed, r2 = rand01(seed)
