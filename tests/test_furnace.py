@@ -7,6 +7,8 @@ The reference's combine (comp:937-938 + unweighted comp:960/966) counts the
 BRDF strategy at full weight on top of partially-weighted NEE, so it fails
 this test by a visible margin; the 'balanced' mode must pass."""
 
+import pytest
+
 import numpy as np
 
 from pnraytracing_tpu.core.config import RenderConfig
@@ -40,6 +42,7 @@ def render_mean(mis: str, depth: int = 6, spp: int = 48) -> float:
     return float(img[3:9, 3:9].mean())
 
 
+@pytest.mark.slow
 def test_balanced_mis_passes_furnace():
     got = render_mean("balanced")
     # albedo-1 Lambertian: every bounce preserves energy; at depth d the

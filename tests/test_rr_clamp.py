@@ -1,5 +1,7 @@
 """Russian roulette and firefly-clamp options."""
 
+import pytest
+
 import dataclasses
 
 import numpy as np
@@ -10,6 +12,7 @@ from tests.test_furnace import ENV_L, furnace_scene
 from tests.test_render import CFG, small_scene
 
 
+@pytest.mark.slow
 def test_rr_unbiased_in_furnace():
     scene, cam = furnace_scene()
     base = RenderConfig(width=12, height=12, max_depth=6, sampler="hash",

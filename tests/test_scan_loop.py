@@ -47,12 +47,14 @@ def test_scan_matches_unroll_rr_sort_fuse():
     assert_ulp_close(unroll, scan)
 
 
+@pytest.mark.slow
 def test_scan_matches_unroll_hash_no_env():
     cfg = dataclasses.replace(BASE, sampler="hash", compact_rays=False)
     _, _, unroll, scan = _pair(cfg, with_env=False)
     assert_ulp_close(unroll, scan)
 
 
+@pytest.mark.slow
 def test_scan_record_replay_roundtrip():
     cfg = dataclasses.replace(BASE, loop="scan")
     scene, cam = small_scene(with_env=True)

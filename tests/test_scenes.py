@@ -31,6 +31,7 @@ def test_cornell_box():
     assert right[1] > right[0]  # green-ish
 
 
+@pytest.mark.slow
 def test_scene_flat():
     builder, cam = scenes.scene_flat()
     scene = builder.build(env_constant=(0.03, 0.03, 0.05))
@@ -39,6 +40,7 @@ def test_scene_flat():
     assert img.std() > 0.005
 
 
+@pytest.mark.slow
 def test_teapot_scene():
     builder, cam = scenes.teapot_scene()
     scene = builder.build(env_image=scenes.night_hdr(64))
@@ -54,6 +56,7 @@ def test_config1():
     assert scene.textures is not None
 
 
+@pytest.mark.slow
 def test_config2_light_list():
     scene, cam = scenes.config2_teapot()
     assert int(scene.lights.count) == 2  # the emissive quad's two triangles
@@ -97,6 +100,7 @@ def test_config3_has_env():
     )
 
 
+@pytest.mark.slow
 def test_config4_textured_multimesh():
     scene, cam = scenes.config4_marry()
     assert scene.textures is not None and scene.textures.count >= 1
@@ -104,6 +108,7 @@ def test_config4_textured_multimesh():
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_config5_size():
     scene, cam = scenes.config5_large(subdiv=4)  # small variant for CPU
     assert scene.mesh.num_triangles > 6000

@@ -6,6 +6,8 @@ the packed loop — but closest hits (tri, t, barycentrics) and occlusion
 results must be identical on non-degenerate geometry.
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,6 +61,7 @@ def test_closest_hit_wide_identical():
     )
 
 
+@pytest.mark.slow
 def test_closest_hit_wide_tiled_identical():
     mesh, bvh, trav, o, d, t_max = setup(seed=11)
     a = closest_hit(bvh, mesh, o, d, t_max)

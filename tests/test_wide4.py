@@ -114,6 +114,7 @@ def test_wide4_full_render_matches_packed():
     np.testing.assert_array_equal(ia, ib)
 
 
+@pytest.mark.slow
 def test_width8_matches_oracle():
     from pnraytracing_tpu.accel.wide4 import pack_wide4 as _pw
 
