@@ -44,6 +44,7 @@ from pnraytracing_tpu.ops.intersect import (
     Hit,
     intersect_aabb_c,
     intersect_triangle_c,
+    triangle_setup_c,
 )
 
 # The flat scene array must fit Mosaic's scalar memory alongside stacks
@@ -145,6 +146,7 @@ def _closest_kernel(
     inv_dx = _safe_inv_c(dx)
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
+    tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
 
     stack_ref[0] = 0
     top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
@@ -170,6 +172,7 @@ def _closest_kernel(
             v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
             tri_hit, t, b1, b2 = intersect_triangle_c(
                 v0, v1, v2, ox, oy, oz, dx, dy, dz, t_best, compat=compat,
+                setup=tri_setup,
             )
             win = hits & tri_hit & valid & (t < t_best)
             t_best = jnp.where(win, t, t_best)
@@ -228,6 +231,7 @@ def _any_kernel(
     inv_dx = _safe_inv_c(dx)
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
+    tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
 
     stack_ref[0] = 0
     top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
@@ -254,6 +258,7 @@ def _any_kernel(
             v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
             tri_hit, _, _, _ = intersect_triangle_c(
                 v0, v1, v2, ox, oy, oz, dx, dy, dz, t_max, compat=compat,
+                setup=tri_setup,
             )
             new_occ = jnp.where(hits & tri_hit & valid,
                                 jnp.int32(1), new_occ)
@@ -324,6 +329,7 @@ def _closest_kernel_wide(
     inv_dx = _safe_inv_c(dx)
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
+    tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
 
     # stack entries are child infos; seed with the root's internal row
     stack_ref[0] = 0
@@ -348,6 +354,7 @@ def _closest_kernel_wide(
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, t, b1, b2 = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_b, compat=compat,
+                    setup=tri_setup,
                 )
                 win = active & tri_hit & valid & (t < t_b)
                 t_b = jnp.where(win, t, t_b)
@@ -424,6 +431,7 @@ def _any_kernel_wide(
     inv_dx = _safe_inv_c(dx)
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
+    tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
 
     stack_ref[0] = 0
     top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
@@ -447,6 +455,7 @@ def _any_kernel_wide(
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, _, _, _ = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_max, compat=compat,
+                    setup=tri_setup,
                 )
                 new_occ = jnp.where(pending & tri_hit & valid,
                                     jnp.int32(1), new_occ)

@@ -40,6 +40,7 @@ from pnraytracing_tpu.ops.intersect import (
     Hit,
     intersect_aabb_c,
     intersect_triangle_c,
+    triangle_setup_c,
 )
 
 
@@ -108,6 +109,7 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
         inv_dx = _safe_inv_c(dx)
         inv_dy = _safe_inv_c(dy)
         inv_dz = _safe_inv_c(dz)
+        tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
         any_active = jnp.any(active)
 
         # ---- phase 1: top-tree walk, collect hit bricks ----------------
@@ -242,7 +244,7 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
                                                   ti_c)
                             hit, t, b1, b2 = intersect_triangle_c(
                                 v0, v1, v2, ox, oy, oz, dx, dy, dz, t2,
-                                compat=compat,
+                                compat=compat, setup=tri_setup,
                             )
                             win = active & hit & valid & (t < t2)
                             t2 = jnp.where(win, t, t2)
@@ -318,7 +320,7 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
                                                   ti_c)
                             hit, _, _, _ = intersect_triangle_c(
                                 v0, v1, v2, ox, oy, oz, dx, dy, dz,
-                                t_max, compat=compat,
+                                t_max, compat=compat, setup=tri_setup,
                             )
                             new_occ = jnp.where(
                                 pending & hit & valid, jnp.int32(1),

@@ -126,31 +126,11 @@ def intersect_triangle(
     return hit, t, b1_, b2_
 
 
-def intersect_triangle_c(
-    v0,
-    v1,
-    v2,
-    ox,
-    oy,
-    oz,
-    dx,
-    dy,
-    dz,
-    t_max,
-    compat: bool = False,
-):
-    """Component-form twin of :func:`intersect_triangle`.
-
-    ``v0/v1/v2`` are 3-tuples of (scalar or broadcastable) vertex
-    components; rays arrive as separate component arrays.  This is the
-    shape the Pallas packet kernel works in — triangle corners are SMEM
-    scalars broadcast against (sublane, lane) ray tiles, where a [R, 3]
-    layout would put xyz on the 128-wide lane axis.  The arithmetic is
-    op-for-op identical to :func:`intersect_triangle` (the axis
-    permutation is pure selection), so results match bit-for-bit; a unit
-    test asserts that equivalence.  Reference: triangle.hpp:15-115,
-    ray_tracing.comp:254-357.
-    """
+def triangle_setup_c(dx, dy, dz, compat: bool = False):
+    """Ray-constant part of the watertight test (axis permutation +
+    shear constants, incl. the divide) — hoist out of per-triangle loops
+    (the Mosaic leaf loop runs it up to 4x per pop otherwise).  Returns
+    the tuple :func:`intersect_triangle_c` accepts as ``setup``."""
     adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     if compat:
         # identity unless d.z == 0, then x/z or y/z swap (triangle.hpp:34-47)
@@ -172,17 +152,52 @@ def intersect_triangle_c(
     def sel(k, x, y, z):
         return jnp.where(k == 0, x, jnp.where(k == 1, y, z))
 
+    dpx = sel(kx, dx, dy, dz)
+    dpy = sel(ky, dx, dy, dz)
+    dpz = sel(kz, dx, dy, dz)
+    inv_dz = 1.0 / dpz
+    return kx, ky, kz, dpx * inv_dz, dpy * inv_dz, inv_dz
+
+
+def intersect_triangle_c(
+    v0,
+    v1,
+    v2,
+    ox,
+    oy,
+    oz,
+    dx,
+    dy,
+    dz,
+    t_max,
+    compat: bool = False,
+    setup=None,
+):
+    """Component-form twin of :func:`intersect_triangle`.
+
+    ``v0/v1/v2`` are 3-tuples of (scalar or broadcastable) vertex
+    components; rays arrive as separate component arrays.  This is the
+    shape the Pallas packet kernel works in — triangle corners are SMEM
+    scalars broadcast against (sublane, lane) ray tiles, where a [R, 3]
+    layout would put xyz on the 128-wide lane axis.  The arithmetic is
+    op-for-op identical to :func:`intersect_triangle` (the axis
+    permutation is pure selection), so results match bit-for-bit; a unit
+    test asserts that equivalence.  Reference: triangle.hpp:15-115,
+    ray_tracing.comp:254-357.
+    """
+    if setup is None:
+        setup = triangle_setup_c(dx, dy, dz, compat=compat)
+    kx, ky, kz, sx, sy, inv_dz = setup
+
+    def sel(k, x, y, z):
+        return jnp.where(k == 0, x, jnp.where(k == 1, y, z))
+
     def perm(x, y, z):
         return sel(kx, x, y, z), sel(ky, x, y, z), sel(kz, x, y, z)
 
-    dpx, dpy, dpz = perm(dx, dy, dz)
     a0, a1, a2 = perm(v0[0] - ox, v0[1] - oy, v0[2] - oz)
     b0, b1, b2v = perm(v1[0] - ox, v1[1] - oy, v1[2] - oz)
     c0, c1, c2 = perm(v2[0] - ox, v2[1] - oy, v2[2] - oz)
-
-    inv_dz = 1.0 / dpz
-    sx = dpx * inv_dz
-    sy = dpy * inv_dz
     ax = a0 - a2 * sx
     ay = a1 - a2 * sy
     az = a2 * inv_dz
