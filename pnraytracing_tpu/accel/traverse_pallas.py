@@ -68,9 +68,9 @@ def scene_fits_smem(trav: TravData, variant: str = "binary") -> bool:
 def pick_variant(trav: TravData, requested: str = "wide") -> str:
     """Largest-win kernel variant that fits SMEM: wide (16-float rows,
     ~2x fewer iterations) when it fits, else binary (8-float rows);
-    raises if even binary exceeds the budget (callers should fall back
-    to ``traversal='packet'`` — config5-class scenes need the planned
-    brick-streaming kernel)."""
+    raises if even binary exceeds the budget (the integrator routes
+    such scenes to the brick-paged streaming kernel,
+    accel/traverse_stream.py, before ever calling this)."""
     if requested == "wide" and trav.nodes16 is not None and scene_fits_smem(
         trav, "wide"
     ):
