@@ -110,3 +110,37 @@ def test_stream_masked_and_padded_tiles():
     np.testing.assert_array_equal(
         np.asarray(ref.tri[:7]), np.asarray(got.tri[:7])
     )
+
+
+def test_integrator_routes_oversize_scene_to_stream():
+    """A scene carrying a stream layout renders through traversal='pallas'
+    (interpreted here) and matches the packet-backend image."""
+    import dataclasses
+
+    import numpy as np
+
+    from pnraytracing_tpu.core.config import RenderConfig
+    from pnraytracing_tpu.render.renderer import render_frame
+    from pnraytracing_tpu.core.camera import make_camera
+
+    scene = _scene()
+    sd = build_stream_data(scene.bvh, scene.mesh, brick_budget_bytes=8 << 10)
+    # the test scene fits SMEM, so force the > SMEM route by patching
+    # the budget check (the integrator re-imports it at trace time)
+    import pnraytracing_tpu.accel.traverse_pallas as tp
+
+    scene_s = scene.replace(trav=scene.trav.replace(stream=sd))
+    cam = make_camera((0.0, 1.2, 3.5), (0, 0, 0), (0, 1, 0), 55.0, 1.0)
+    cfg_pk = RenderConfig(width=12, height=12, max_depth=2, sampler="hash",
+                          traversal="packet")
+    ref = np.asarray(render_frame(scene, cam, cfg_pk, 0))
+
+    orig = tp.scene_fits_smem
+    tp.scene_fits_smem = lambda *a, **k: False  # force the stream route
+    try:
+        cfg_pl = dataclasses.replace(cfg_pk, traversal="pallas",
+                                     trav_tile=128)
+        got = np.asarray(render_frame(scene_s, cam, cfg_pl, 0))
+    finally:
+        tp.scene_fits_smem = orig
+    np.testing.assert_allclose(ref, got, rtol=1e-5, atol=2e-5)
