@@ -337,10 +337,11 @@ def _closest_kernel_wide(
     zero = jnp.zeros_like(t_max)
 
     def body(state):
-        top, it, t_best, tri_best, b1_best, b2_best = state
+        top, it, lit, t_best, tri_best, b1_best, b2_best = state
         info = stack_ref[jnp.maximum(top - 1, 0)]
         top = top - 1
         is_leaf = info < 0
+        lit = lit + is_leaf.astype(jnp.int32)  # leaf-pop counter (stats)
 
         def leaf_branch(_):
             meta = -info - 1
@@ -392,25 +393,32 @@ def _closest_kernel_wide(
         top1 = top + inc_f
         stack_ref[jnp.maximum(top1, 0)] = near
         top2 = top1 + inc_n
-        return top2, it + 1, t_best, tri_best, b1_best, b2_best
+        return top2, it + 1, lit, t_best, tri_best, b1_best, b2_best
 
-    _, iters, t_best, tri_best, b1_best, b2_best = jax.lax.while_loop(
-        lambda s: s[0] > 0,
-        body,
-        (
-            top0,
-            jnp.int32(0),
-            jnp.asarray(t_max, jnp.float32),
-            jnp.full(t_max.shape, -1, jnp.int32),
-            zero,
-            zero,
-        ),
+    _, iters, leaf_iters, t_best, tri_best, b1_best, b2_best = (
+        jax.lax.while_loop(
+            lambda s: s[0] > 0,
+            body,
+            (
+                top0,
+                jnp.int32(0),
+                jnp.int32(0),
+                jnp.asarray(t_max, jnp.float32),
+                jnp.full(t_max.shape, -1, jnp.int32),
+                zero,
+                zero,
+            ),
+        )
     )
     t_ref[0] = t_best
     tri_ref[0] = tri_best
     b1_ref[0] = b1_best
     b2_ref[0] = b2_best
-    iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
+    # stats rows: sublanes 0-3 = total pops, 4-7 = leaf pops
+    iters_ref[:, :, :] = jnp.concatenate(
+        [jnp.full((1, 4, 128), iters, jnp.int32),
+         jnp.full((1, 4, 128), leaf_iters, jnp.int32)], axis=1
+    )
 
 
 def _any_kernel_wide(
