@@ -347,21 +347,36 @@ def _closest_kernel_wide(
             meta = -info - 1
             start = meta // 16
             count = meta % 16
-            t_b, tri_b, b1_b, b2_b = t_best, tri_best, b1_best, b2_best
-            for k in range(max_leaf_size):
+
+            # leaves average ~2.2 of max_leaf_size=4 triangles, so the
+            # flat masked unroll wasted ~45% of its VPU tests; branch
+            # per slot instead (count is a kernel scalar, so this is a
+            # cheap scalar branch; k=0 is guarded too — synthetic empty
+            # leaves have count 0)
+            def test_k(k, carry):
+                t_b, tri_b, b1_b, b2_b = carry
                 ti = start + k
                 ti_c = jnp.minimum(ti, n_tris - 1)
-                valid = k < count
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, t, b1, b2 = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_b, compat=compat,
                     setup=tri_setup,
                 )
-                win = active & tri_hit & valid & (t < t_b)
-                t_b = jnp.where(win, t, t_b)
-                tri_b = jnp.where(win, ti, tri_b)
-                b1_b = jnp.where(win, b1, b1_b)
-                b2_b = jnp.where(win, b2, b2_b)
+                win = active & tri_hit & (t < t_b)
+                return (
+                    jnp.where(win, t, t_b),
+                    jnp.where(win, ti, tri_b),
+                    jnp.where(win, b1, b1_b),
+                    jnp.where(win, b2, b2_b),
+                )
+
+            carry = (t_best, tri_best, b1_best, b2_best)
+            for k in range(max_leaf_size):
+                carry = jax.lax.cond(
+                    k < count, functools.partial(test_k, k),
+                    lambda c: c, carry,
+                )
+            t_b, tri_b, b1_b, b2_b = carry
             z = jnp.int32(0)
             return t_b, tri_b, b1_b, b2_b, z, z, z, z
 
@@ -455,18 +470,23 @@ def _any_kernel_wide(
             meta = -info - 1
             start = meta // 16
             count = meta % 16
-            new_occ = occ
-            for k in range(max_leaf_size):
+
+            def test_k(k, new_occ):
                 ti = start + k
                 ti_c = jnp.minimum(ti, n_tris - 1)
-                valid = k < count
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, _, _, _ = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_max, compat=compat,
                     setup=tri_setup,
                 )
-                new_occ = jnp.where(pending & tri_hit & valid,
-                                    jnp.int32(1), new_occ)
+                return jnp.where(pending & tri_hit, jnp.int32(1), new_occ)
+
+            new_occ = occ
+            for k in range(max_leaf_size):
+                new_occ = jax.lax.cond(
+                    k < count, functools.partial(test_k, k),
+                    lambda c: c, new_occ,
+                )
             z = jnp.int32(0)
             return new_occ, z, z, z, z
 

@@ -235,22 +235,30 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
                         meta = -info - 1
                         start = meta // 16
                         count = meta % 16
-                        t2, tri2, b12, b22 = t_b, tri_b, b1_b, b2_b
-                        for k in range(max_leaf_size):
+
+                        def test_k(k, cy):
+                            t2, tri2, b12, b22 = cy
                             ti = start + k
                             ti_c = jnp.minimum(ti, n_tris - 1)
-                            valid = k < count
                             v0, v1, v2 = _buf_tri(buf_ref, slot, tris_off,
                                                   ti_c)
                             hit, t, b1, b2 = intersect_triangle_c(
                                 v0, v1, v2, ox, oy, oz, dx, dy, dz, t2,
                                 compat=compat, setup=tri_setup,
                             )
-                            win = active & hit & valid & (t < t2)
-                            t2 = jnp.where(win, t, t2)
-                            tri2 = jnp.where(win, tri_base + ti, tri2)
-                            b12 = jnp.where(win, b1, b12)
-                            b22 = jnp.where(win, b2, b22)
+                            win = active & hit & (t < t2)
+                            return (jnp.where(win, t, t2),
+                                    jnp.where(win, tri_base + ti, tri2),
+                                    jnp.where(win, b1, b12),
+                                    jnp.where(win, b2, b22))
+
+                        cy = (t_b, tri_b, b1_b, b2_b)
+                        for k in range(max_leaf_size):
+                            cy = jax.lax.cond(
+                                k < count, functools.partial(test_k, k),
+                                lambda c: c, cy,
+                            )
+                        t2, tri2, b12, b22 = cy
                         z = jnp.int32(0)
                         return t2, tri2, b12, b22, z, z, z, z
 
@@ -311,20 +319,24 @@ def _make_stream_kernel(*, n_bricks, max_leaf_size, compat, mode):
                         meta = -info - 1
                         start = meta // 16
                         count = meta % 16
-                        new_occ = occ_c
-                        for k in range(max_leaf_size):
+
+                        def test_k(k, new_occ):
                             ti = start + k
                             ti_c = jnp.minimum(ti, n_tris - 1)
-                            valid = k < count
                             v0, v1, v2 = _buf_tri(buf_ref, slot, tris_off,
                                                   ti_c)
                             hit, _, _, _ = intersect_triangle_c(
                                 v0, v1, v2, ox, oy, oz, dx, dy, dz,
                                 t_max, compat=compat, setup=tri_setup,
                             )
-                            new_occ = jnp.where(
-                                pending & hit & valid, jnp.int32(1),
-                                new_occ,
+                            return jnp.where(pending & hit, jnp.int32(1),
+                                             new_occ)
+
+                        new_occ = occ_c
+                        for k in range(max_leaf_size):
+                            new_occ = jax.lax.cond(
+                                k < count, functools.partial(test_k, k),
+                                lambda c: c, new_occ,
                             )
                         z = jnp.int32(0)
                         return new_occ, z, z, z, z
