@@ -17,7 +17,9 @@ Flat-layout facts used (BVH.hpp:6-12 contract, accel/bvh.py):
 * triangles are partitioned in build order, so a subtree's leaves cover
   the contiguous triangle range [tri_lo(i), tri_hi(i)).
 
-Brick blob layout (f32 words, exact-small-int encoded like layout.py):
+Brick blob layout (f32 words, exact-small-int encoded like layout.py;
+all ids exact below 2**24 — build_stream_data asserts n_tris < 2**24 so
+the f32 ``tri_base + ti`` hit ids can never silently round):
   [0] tris_off  — word offset of the triangle section (= 4 + 16*n_rows)
   [1] tri_base  — global id of the brick's first triangle
   [2] n_rows    — local wide node rows (debug/bounds)
@@ -115,9 +117,11 @@ def build_stream_data(bvh, mesh, brick_budget_bytes: int = 256 << 10,
     cut_of_node = np.full(n, -1, np.int64)  # node id -> brick id
     brick_roots: list[int] = []
     top_nodes: list[int] = []
-    stack = [0]
+    top_depth = 0  # max DFS depth of the TOP tree (phase-1 stack sizing)
+    stack = [(0, 1)]
     while stack:
-        i = stack.pop()
+        i, dep = stack.pop()
+        top_depth = max(top_depth, dep)
         if sub_bytes[i] <= brick_budget_bytes:
             cut_of_node[i] = len(brick_roots)
             brick_roots.append(i)
@@ -125,8 +129,8 @@ def build_stream_data(bvh, mesh, brick_budget_bytes: int = 256 << 10,
         # over budget -> internal (a leaf is <= 15 tris, always fits)
         assert right[i] >= 0, "over-budget leaf cannot happen"
         top_nodes.append(i)
-        stack.append(int(right[i]))
-        stack.append(i + 1)
+        stack.append((int(right[i]), dep + 1))
+        stack.append((i + 1, dep + 1))
 
     top_nodes.sort()
     top_local = {g: l for l, g in enumerate(top_nodes)}
@@ -183,13 +187,23 @@ def build_stream_data(bvh, mesh, brick_budget_bytes: int = 256 << 10,
     for i, blob in enumerate(blobs):
         bricks[i, : len(blob)] = blob
 
+    # The kernel's ONE stack scratch serves both the phase-1 top-tree
+    # walk and the per-brick wide walks, so size it for whichever is
+    # deeper (a big SAH-unbalanced scene's top tree can be far deeper
+    # than any brick's internal depth — sizing by brick depth alone
+    # silently overflowed into adjacent SMEM).
+    assert len(idxs) < (1 << 24), (
+        f"{len(idxs)} triangles: brick tri ids are exact-small-int f32 "
+        "words, exact only below 2**24 — split the scene or widen the id "
+        "encoding before streaming it"
+    )
     return StreamData(
         top16=jnp.asarray(top16),
         bricks=jnp.asarray(bricks),
         brick_words=int(max_words),
         n_bricks=len(blobs),
         n_top_rows=nt,
-        brick_stack=int(max_depth + 4),
+        brick_stack=int(max(max_depth, top_depth + 1) + 4),
         n_tris=len(idxs),
     )
 

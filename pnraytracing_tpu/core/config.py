@@ -76,8 +76,10 @@ class RenderConfig:
     # Compact live rays to the front of the batch between bounces.  With
     # tiled traversal, all-dead tiles drain their while loop immediately,
     # so later bounces only pay for tiles that still hold live rays.
-    # Results are bit-identical (pure permutation; per-ray RNG state and
-    # pixel ids travel with the ray).
+    # The permutation itself is value-exact (per-ray RNG state and pixel
+    # ids travel with the ray), but compact on/off compile to different
+    # XLA programs whose FMA contraction differs at ulp level — same
+    # contract as sort_rays below.
     # Round-4 history: with the original 25-pass per-array permutation
     # this cost ~90 ms/bounce and was turned off (509 -> 237 ms/frame);
     # after the permute became ONE packed [R, 32]-row gather, compaction

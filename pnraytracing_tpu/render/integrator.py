@@ -796,7 +796,7 @@ def _render_rays(
                     seed_lo, seed_hi,
                     f32(orig), f32(px_l), f32(py_l), path_t,
                 ]
-                packed = jnp.stack(cols, axis=1)[perm]  # [R, 25] row gather
+                packed = jnp.stack(cols, axis=1)[perm]  # [R, n_cols] row gather
                 col = lambda k: packed[:, k]
                 i32c = lambda k: col(k).astype(jnp.int32)
                 active = col(0) > 0.5
