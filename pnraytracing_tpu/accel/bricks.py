@@ -86,6 +86,45 @@ def _node_bytes(n_nodes: int, n_tris: int) -> int:
     return 4 * (BRICK_HEADER_WORDS + 16 * n_nodes + 9 * n_tris)
 
 
+def treelet_cut_aabbs(bvh, n_target: int = 256, cap: int = 512
+                      ) -> np.ndarray:
+    """[K, 6] f32 treelet AABBs (lo.xyz, hi.xyz) from a node-count
+    top-down cut of the flat BVH — the binning table for the
+    ray-coherence sort (ops/compaction.py::treelet_entry_key).
+
+    Bounce rays sorted by "nearest treelet my ray enters" put rays that
+    will walk the same subtree into the same traversal tile, which is
+    what bounds the shared-stack packet kernel's per-tile node union
+    (round-5 sweep, scripts/sort_exp.py: 2.2-2.5x over the Morton
+    position key on realistic bounce rays, plateauing at ~n/256-node
+    treelets).  ``cap`` bounds K so the in-graph unrolled entry tests
+    stay cheap; the cut is re-run coarser until it fits."""
+    right = np.asarray(bvh.right_child, np.int64)
+    node_min = np.asarray(bvh.node_min, np.float32)
+    node_max = np.asarray(bvh.node_max, np.float32)
+    n = len(right)
+    id_end = np.empty(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        id_end[i] = i + 1 if right[i] < 0 else id_end[right[i]]
+    max_nodes = max(n // n_target, 1)
+    while True:
+        roots = []
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            if id_end[i] - i <= max_nodes or right[i] < 0:
+                roots.append(i)
+                continue
+            stack.append(int(right[i]))
+            stack.append(i + 1)
+        if len(roots) <= cap or max_nodes >= n:
+            break
+        max_nodes *= 2
+    roots = np.array(sorted(roots))
+    return np.concatenate([node_min[roots], node_max[roots]],
+                          axis=1).astype(np.float32)
+
+
 def build_stream_data(bvh, mesh, brick_budget_bytes: int = 256 << 10,
                       ) -> StreamData:
     """Cut the tree into maximal <=budget subtrees and pack blobs.

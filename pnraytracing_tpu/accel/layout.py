@@ -69,6 +69,23 @@ class TravData:
     # host-built at scene build when the packed scene exceeds the
     # SMEM-resident kernel budget; None in-graph)
     stream: "object | None" = None
+    # [K, 6] treelet AABBs (lo.xyz, hi.xyz) for the bounce-ray coherence
+    # sort (accel/bricks.py::treelet_cut_aabbs; host-built, None
+    # in-graph — the sort falls back to the Morton position key)
+    treelets: jnp.ndarray | None = None
+    # Wide rows compacted to INTERNAL nodes only (child infos are row
+    # ids into this table).  pack_wide_nodes stores a dummy row per leaf
+    # so row id == node id; that wastes ~half the SMEM-resident kernel's
+    # scene budget (leaf rows are never visited).  Host-built
+    # (pack_wide_nodes_compact — the live row count is data-dependent,
+    # so it cannot be traced); None in-graph.
+    nodes16c: jnp.ndarray | None = None
+    # [T, 16] per-triangle shading attributes for the attribute-emitting
+    # Mosaic kernel (pack_tri_attr16): corner normals (9), corner uvs
+    # (6), encoded material/texture id (1).  Lets the kernel emit the
+    # interaction fill at triangle-test time (triangle data are SMEM
+    # scalars there) instead of a per-ray [T, 26] row gather afterwards.
+    tri_attr16: jnp.ndarray | None = None
 
 
 def _enc_i2f(x: jnp.ndarray) -> jnp.ndarray:
@@ -174,6 +191,82 @@ def pack_wide_nodes(bvh: BVH) -> jnp.ndarray:
     )
     rows = rows.at[0].set(jnp.where(is_leaf[0], syn_row0, rows[0]))
     return rows
+
+
+def pack_wide_nodes_compact(built) -> "np.ndarray":
+    """Internal-only wide rows (numpy, host-built at scene build).
+
+    Same row content as :func:`pack_wide_nodes`, but leaf nodes get no
+    row and internal child infos are COMPACT ROW IDS — for the flagship
+    scene this halves the node side of the Mosaic kernel's SMEM budget
+    (357 KB -> 178 KB), the headroom the per-triangle attribute table
+    needs.  ``built`` is the host BVHArrays."""
+    import numpy as np
+
+    right = np.asarray(built.right_child, np.int64)
+    node_min = np.asarray(built.node_min, np.float32)
+    node_max = np.asarray(built.node_max, np.float32)
+    axis = np.asarray(built.axis, np.int64)
+    start = np.asarray(built.start, np.int64)
+    end = np.asarray(built.end, np.int64)
+    n = len(right)
+    is_leaf = right < 0
+    count = end - start
+    meta = start * _COUNT_BASE + np.minimum(count, MAX_PACKED_LEAF)
+    leaf_info = (-meta - 1).astype(np.int64)
+
+    if bool(is_leaf[0]):
+        # leaf root: one synthetic row (left = the leaf, right = empty)
+        row = np.zeros((1, 16), np.float32)
+        row[0, 0:3] = node_min[0]
+        row[0, 3:6] = node_max[0]
+        row[0, 6:9] = 3e38
+        row[0, 9:12] = -3e38
+        row[0, 12] = float(leaf_info[0])
+        row[0, 13] = float(-1)  # empty leaf: meta 0
+        return row
+
+    internal = np.nonzero(~is_leaf)[0]
+    row_of = np.cumsum(~is_leaf) - (~is_leaf)  # exclusive scan
+    lc = internal + 1
+    rc = right[internal]
+    info = np.where(is_leaf, leaf_info, row_of)
+    rows = np.zeros((len(internal), 16), np.float32)
+    rows[:, 0:3] = node_min[lc]
+    rows[:, 3:6] = node_max[lc]
+    rows[:, 6:9] = node_min[rc]
+    rows[:, 9:12] = node_max[rc]
+    rows[:, 12] = info[lc].astype(np.float32)
+    rows[:, 13] = info[rc].astype(np.float32)
+    rows[:, 14] = np.maximum(axis[internal], 0).astype(np.float32)
+    return rows
+
+
+# encoded material/texture word of the attribute rows: mat*4096+(tex+1),
+# exact in f32 for mat < 4096 and tex < 4095 (tex -1 = untextured)
+ATTR_TEX_BASE = 4096
+
+
+def pack_tri_attr16(mesh: TriangleMesh) -> jnp.ndarray:
+    """[T, 16] per-triangle shading attributes for the attribute-emitting
+    Mosaic kernel: corner shading normals (9; zero normals replaced by
+    the geometric normal at BAKE time, mirroring make_interaction's
+    any-corner-zero fallback), corner uvs (6), enc(mat, tex) (1)."""
+    t = mesh.indices.shape[0]
+    p = mesh.positions[mesh.indices]  # [T, 3, 3]
+    n = mesh.normals[mesh.indices]  # [T, 3, 3]
+    gn = jnp.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+    gn = gn / jnp.maximum(
+        jnp.linalg.norm(gn, axis=1, keepdims=True), 1e-20
+    )
+    any_zero = jnp.any(jnp.all(n == 0.0, axis=2), axis=1)  # [T]
+    n = jnp.where(any_zero[:, None, None], gn[:, None, :], n)
+    uv = mesh.uvs[mesh.indices].reshape(t, 6)
+    enc = (mesh.material_id.astype(jnp.int32) * ATTR_TEX_BASE
+           + mesh.texture_id.astype(jnp.int32) + 1)
+    return jnp.concatenate(
+        [n.reshape(t, 9), uv, _enc_i2f(enc)[:, None]], axis=1
+    )
 
 
 def unpack_wide_rows(rows: jnp.ndarray):

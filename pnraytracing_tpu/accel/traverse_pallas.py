@@ -54,11 +54,21 @@ from pnraytracing_tpu.ops.intersect import (
 SMEM_SCENE_BUDGET_BYTES = (1 << 20) - (16 << 10)
 
 
+def _node_rows(trav: TravData, variant: str) -> int:
+    """Node-table row count of the variant's SMEM layout (wide uses the
+    compact internal-only rows when the scene carries them)."""
+    if variant in ("wide", "wide_attr"):
+        if trav.nodes16c is not None:
+            return int(trav.nodes16c.shape[0])
+        return int(trav.nodes8.shape[0])
+    return int(trav.nodes8.shape[0])
+
+
 def _scene_bytes(trav: TravData, variant: str) -> int:
-    n_nodes = int(trav.nodes8.shape[0])
     n_tris = int(trav.tri9.shape[0])
-    per_node = 16 if variant == "wide" else 8
-    return 4 * (per_node * n_nodes + 9 * n_tris)
+    per_node = 16 if variant in ("wide", "wide_attr") else 8
+    per_tri = 9 + (16 if variant == "wide_attr" else 0)
+    return 4 * (per_node * _node_rows(trav, variant) + per_tri * n_tris)
 
 
 def scene_fits_smem(trav: TravData, variant: str = "binary") -> bool:
@@ -66,14 +76,19 @@ def scene_fits_smem(trav: TravData, variant: str = "binary") -> bool:
 
 
 def pick_variant(trav: TravData, requested: str = "wide") -> str:
-    """Largest-win kernel variant that fits SMEM: wide (16-float rows,
-    ~2x fewer iterations) when it fits, else binary (8-float rows);
-    raises if even binary exceeds the budget (the integrator routes
-    such scenes to the brick-paged streaming kernel,
-    accel/traverse_stream.py, before ever calling this)."""
-    if requested == "wide" and trav.nodes16 is not None and scene_fits_smem(
-        trav, "wide"
-    ):
+    """Largest-win kernel variant that fits SMEM: wide_attr (wide rows +
+    per-triangle attribute rows, interaction emitted in-kernel) when
+    requested and it fits, else wide (16-float rows, ~2x fewer
+    iterations than binary), else binary (8-float rows); raises if even
+    binary exceeds the budget (the integrator routes such scenes to the
+    brick-paged streaming kernel, accel/traverse_stream.py, before ever
+    calling this)."""
+    if (requested == "wide_attr" and trav.nodes16 is not None
+            and trav.tri_attr16 is not None
+            and scene_fits_smem(trav, "wide_attr")):
+        return "wide_attr"
+    if requested in ("wide", "wide_attr") and trav.nodes16 is not None \
+            and scene_fits_smem(trav, "wide"):
         return "wide"
     if not scene_fits_smem(trav, "binary"):
         raise ValueError(
@@ -304,7 +319,7 @@ def _wide_row(scene_ref, row):
 
 
 def _closest_kernel_wide(
-    n_nodes: int,
+    tri_base: int,
     n_tris: int,
     max_leaf_size: int,
     compat: bool,
@@ -324,7 +339,6 @@ def _closest_kernel_wide(
     parent).  Half the iterations of the pop-test binary walk, and each
     iteration runs ONE branch (``lax.cond``), not both masked."""
     tile = pl.program_id(0)
-    tri_base = 16 * n_nodes
     ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
     inv_dx = _safe_inv_c(dx)
     inv_dy = _safe_inv_c(dy)
@@ -436,8 +450,172 @@ def _closest_kernel_wide(
     )
 
 
+def _closest_kernel_wide_attr(
+    tri_base: int,
+    attr_base: int,
+    n_tris: int,
+    max_leaf_size: int,
+    compat: bool,
+    dsign_ref,
+    scene_ref,
+    rays_ref,
+    t_ref,
+    tri_ref,
+    b1_ref,
+    b2_ref,
+    nx_ref,
+    ny_ref,
+    nz_ref,
+    u_ref,
+    v_ref,
+    mt_ref,
+    iters_ref,
+    stack_ref,
+):
+    """The wide push-test walk, additionally emitting the interaction
+    fill: at the moment a triangle test WINS, the triangle id is a
+    kernel SCALAR, so its shading attributes (corner normals, uvs,
+    material/texture id — the [T, 16] rows of layout.py::pack_tri_attr16
+    appended to the SMEM scene) are scalar reads broadcast against the
+    tile, interpolated with the test's own barycentrics and committed
+    under the win mask.  This replaces the integrator's per-ray [T, 26]
+    interaction row gather (the one remaining gather of the hot path,
+    make_interaction) with ~25 extra VPU ops per leaf test — the
+    megakernel direction of ray_tracing.comp:861-992, where traversal
+    and shading-point fill are one kernel."""
+    tile = pl.program_id(0)
+    ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
+    inv_dx = _safe_inv_c(dx)
+    inv_dy = _safe_inv_c(dy)
+    inv_dz = _safe_inv_c(dz)
+    tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
+
+    stack_ref[0] = 0
+    top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
+    zero = jnp.zeros_like(t_max)
+
+    def body(state):
+        (top, it, t_best, tri_best, b1_best, b2_best,
+         nx_b, ny_b, nz_b, u_b, v_b, mt_b) = state
+        info = stack_ref[jnp.maximum(top - 1, 0)]
+        top = top - 1
+        is_leaf = info < 0
+
+        def leaf_branch(_):
+            meta = -info - 1
+            start = meta // 16
+            count = meta % 16
+
+            def test_k(k, carry):
+                (t_b, tri_b, b1_c, b2_c, nx_c, ny_c, nz_c, u_c, v_c,
+                 mt_c) = carry
+                ti = start + k
+                ti_c = jnp.minimum(ti, n_tris - 1)
+                v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
+                tri_hit, t, b1, b2 = intersect_triangle_c(
+                    v0, v1, v2, ox, oy, oz, dx, dy, dz, t_b, compat=compat,
+                    setup=tri_setup,
+                )
+                win = active & tri_hit & (t < t_b)
+                ab = attr_base + ti_c * 16
+                b0 = 1.0 - b1 - b2
+                # interpolate with THIS test's barycentrics; corner
+                # attributes are SMEM scalars (zero gathers)
+                nx = (scene_ref[ab] * b0 + scene_ref[ab + 3] * b1
+                      + scene_ref[ab + 6] * b2)
+                ny = (scene_ref[ab + 1] * b0 + scene_ref[ab + 4] * b1
+                      + scene_ref[ab + 7] * b2)
+                nz = (scene_ref[ab + 2] * b0 + scene_ref[ab + 5] * b1
+                      + scene_ref[ab + 8] * b2)
+                u = (scene_ref[ab + 9] * b0 + scene_ref[ab + 11] * b1
+                     + scene_ref[ab + 13] * b2)
+                v = (scene_ref[ab + 10] * b0 + scene_ref[ab + 12] * b1
+                     + scene_ref[ab + 14] * b2)
+                mt = scene_ref[ab + 15]
+                return (
+                    jnp.where(win, t, t_b),
+                    jnp.where(win, ti, tri_b),
+                    jnp.where(win, b1, b1_c),
+                    jnp.where(win, b2, b2_c),
+                    jnp.where(win, nx, nx_c),
+                    jnp.where(win, ny, ny_c),
+                    jnp.where(win, nz, nz_c),
+                    jnp.where(win, u, u_c),
+                    jnp.where(win, v, v_c),
+                    jnp.where(win, mt, mt_c),
+                )
+
+            carry = (t_best, tri_best, b1_best, b2_best,
+                     nx_b, ny_b, nz_b, u_b, v_b, mt_b)
+            for k in range(max_leaf_size):
+                carry = jax.lax.cond(
+                    k < count, functools.partial(test_k, k),
+                    lambda cc: cc, carry,
+                )
+            z = jnp.int32(0)
+            return carry + (z, z, z, z)
+
+        def internal_branch(_):
+            lmin, lmax, rmin, rmax, li, ri, axis = _wide_row(scene_ref, info)
+            hits_l = active & intersect_aabb_c(
+                lmin, lmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
+                compat=compat,
+            )
+            hits_r = active & intersect_aabb_c(
+                rmin, rmax, ox, oy, oz, inv_dx, inv_dy, inv_dz, t_best,
+                compat=compat,
+            )
+            inc_l = jnp.any(hits_l).astype(jnp.int32)
+            inc_r = jnp.any(hits_r).astype(jnp.int32)
+            d_neg = dsign_ref[tile * 3 + axis] < 0
+            near = jnp.where(d_neg, ri, li)
+            far = jnp.where(d_neg, li, ri)
+            inc_near = jnp.where(d_neg, inc_r, inc_l)
+            inc_far = jnp.where(d_neg, inc_l, inc_r)
+            return (t_best, tri_best, b1_best, b2_best,
+                    nx_b, ny_b, nz_b, u_b, v_b, mt_b,
+                    far, near, inc_far, inc_near)
+
+        (t_best, tri_best, b1_best, b2_best, nx_b, ny_b, nz_b, u_b, v_b,
+         mt_b, far, near, inc_f, inc_n) = jax.lax.cond(
+            is_leaf, leaf_branch, internal_branch, 0
+        )
+        stack_ref[jnp.maximum(top, 0)] = far
+        top1 = top + inc_f
+        stack_ref[jnp.maximum(top1, 0)] = near
+        top2 = top1 + inc_n
+        return (top2, it + 1, t_best, tri_best, b1_best, b2_best,
+                nx_b, ny_b, nz_b, u_b, v_b, mt_b)
+
+    (_, iters, t_best, tri_best, b1_best, b2_best, nx_b, ny_b, nz_b,
+     u_b, v_b, mt_b) = jax.lax.while_loop(
+        lambda s: s[0] > 0,
+        body,
+        (
+            top0,
+            jnp.int32(0),
+            jnp.asarray(t_max, jnp.float32),
+            jnp.full(t_max.shape, -1, jnp.int32),
+            zero, zero,
+            zero, zero, jnp.ones_like(t_max),  # miss normal = +z (unit)
+            zero, zero, zero,
+        ),
+    )
+    t_ref[0] = t_best
+    tri_ref[0] = tri_best
+    b1_ref[0] = b1_best
+    b2_ref[0] = b2_best
+    nx_ref[0] = nx_b
+    ny_ref[0] = ny_b
+    nz_ref[0] = nz_b
+    u_ref[0] = u_b
+    v_ref[0] = v_b
+    mt_ref[0] = mt_b
+    iters_ref[:, :, :] = jnp.full((1, 8, 128), iters, jnp.int32)
+
+
 def _any_kernel_wide(
-    n_nodes: int,
+    tri_base: int,
     n_tris: int,
     max_leaf_size: int,
     compat: bool,
@@ -449,7 +627,6 @@ def _any_kernel_wide(
     stack_ref,
 ):
     tile = pl.program_id(0)
-    tri_base = 16 * n_nodes
     ox, oy, oz, dx, dy, dz, t_max, active = _ray_components(rays_ref)
     inv_dx = _safe_inv_c(dx)
     inv_dy = _safe_inv_c(dy)
@@ -585,18 +762,29 @@ def _pack_inputs(trav, o, d, t_max, mask, tile_size):
 
 def _scene_flat(trav: TravData, variant: str):
     """Flat SMEM scene array: binary = nodes8 rows + tri9 rows; wide =
-    nodes16 rows + tri9 rows."""
-    if variant == "wide":
+    wide rows (compact internal-only when available) + tri9 rows;
+    wide_attr additionally appends the [T, 16] attribute rows."""
+    if variant in ("wide", "wide_attr"):
         assert trav.nodes16 is not None, (
             "traversal='pallas' wide variant needs packed wide rows "
             "(pack_traversal_data builds them)"
         )
-        nodes = trav.nodes16
+        nodes = trav.nodes16c if trav.nodes16c is not None else trav.nodes16
     else:
         nodes = trav.nodes8
-    return jnp.concatenate(
-        [nodes.reshape(-1), trav.tri9.reshape(-1)]
-    ).astype(jnp.float32)
+    parts = [nodes.reshape(-1), trav.tri9.reshape(-1)]
+    if variant == "wide_attr":
+        assert trav.tri_attr16 is not None
+        parts.append(trav.tri_attr16.reshape(-1))
+    return jnp.concatenate(parts).astype(jnp.float32)
+
+
+_OUT_DTYPES = {
+    4: [jnp.float32, jnp.int32, jnp.float32, jnp.float32],
+    1: [jnp.int32],
+    # attr kernel: t, tri, b1, b2, nx, ny, nz, u, v, enc(mat,tex)
+    10: [jnp.float32, jnp.int32] + [jnp.float32] * 8,
+}
 
 
 def _call_kernel(
@@ -634,8 +822,7 @@ def _call_kernel(
         ),
         scratch_shapes=[pltpu.SMEM((stack_depth + 2,), jnp.int32)],
     )
-    dtypes = ([jnp.float32, jnp.int32, jnp.float32, jnp.float32]
-              if n_outs == 4 else [jnp.int32])
+    dtypes = _OUT_DTYPES[n_outs]
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -671,11 +858,16 @@ def closest_hit_pallas(
     with_stats: bool = False,
 ):
     del chunk
-    n_nodes = int(trav.nodes8.shape[0])
     n_tris = int(trav.tri9.shape[0])
     variant = pick_variant(trav, variant)
-    kfn = _closest_kernel_wide if variant == "wide" else _closest_kernel
-    kernel = functools.partial(kfn, n_nodes, n_tris, max_leaf_size, compat)
+    if variant == "wide":
+        tri_base = 16 * _node_rows(trav, variant)
+        kernel = functools.partial(
+            _closest_kernel_wide, tri_base, n_tris, max_leaf_size, compat)
+    else:
+        kernel = functools.partial(
+            _closest_kernel, int(trav.nodes8.shape[0]), n_tris,
+            max_leaf_size, compat)
     (t, tri, b1, b2, iters), r = _call_kernel(
         kernel, 4, trav, o, d, t_max, mask,
         stack_depth=stack_depth, tile_size=tile_size, interpret=interpret,
@@ -690,6 +882,63 @@ def closest_hit_pallas(
     if with_stats:
         return hit, iters[:, 0, :1]
     return hit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "stack_depth", "max_leaf_size", "compat", "tile_size", "chunk",
+        "interpret", "with_stats",
+    ),
+)
+def closest_hit_pallas_attr(
+    trav: TravData,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    t_max: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    *,
+    stack_depth: int = 64,
+    max_leaf_size: int = 4,
+    compat: bool = False,
+    tile_size: int | None = 4096,
+    chunk: int = 1,
+    interpret: bool = False,
+    with_stats: bool = False,
+):
+    """Closest hit + in-kernel interaction fill.
+
+    Returns ``(Hit, (nrm_raw V3-components, u, v, enc_mt i32))`` where
+    ``nrm_raw`` is the barycentric-interpolated (unnormalized, unflipped)
+    shading normal, ``u/v`` the interpolated uvs, and ``enc_mt`` the
+    encoded material/texture word (layout.py::ATTR_TEX_BASE).  Caller
+    must fit: requires ``pick_variant(trav, 'wide_attr') == 'wide_attr'``.
+    """
+    del chunk
+    n_tris = int(trav.tri9.shape[0])
+    variant = pick_variant(trav, "wide_attr")
+    assert variant == "wide_attr", (
+        "closest_hit_pallas_attr: scene lacks attr rows or exceeds SMEM "
+        f"(picked {variant}); route through closest_hit_pallas instead"
+    )
+    node_rows = _node_rows(trav, variant)
+    tri_base = 16 * node_rows
+    attr_base = tri_base + 9 * n_tris
+    kernel = functools.partial(
+        _closest_kernel_wide_attr, tri_base, attr_base, n_tris,
+        max_leaf_size, compat)
+    (t, tri, b1, b2, nx, ny, nz, u, v, mt, iters), r = _call_kernel(
+        kernel, 10, trav, o, d, t_max, mask,
+        stack_depth=stack_depth, tile_size=tile_size, interpret=interpret,
+        variant=variant,
+    )
+    flat = lambda a: a.reshape(-1)[:r]
+    hit = Hit(tri=flat(tri), t=flat(t), b1=flat(b1), b2=flat(b2))
+    attrs = (flat(nx), flat(ny), flat(nz), flat(u), flat(v),
+             flat(mt).astype(jnp.int32))
+    if with_stats:
+        return hit, attrs, iters[:, 0, :1]
+    return hit, attrs
 
 
 @functools.partial(
@@ -716,11 +965,16 @@ def any_hit_pallas(
     with_stats: bool = False,
 ):
     del chunk
-    n_nodes = int(trav.nodes8.shape[0])
     n_tris = int(trav.tri9.shape[0])
     variant = pick_variant(trav, variant)
-    kfn = _any_kernel_wide if variant == "wide" else _any_kernel
-    kernel = functools.partial(kfn, n_nodes, n_tris, max_leaf_size, compat)
+    if variant == "wide":
+        kernel = functools.partial(
+            _any_kernel_wide, 16 * _node_rows(trav, variant), n_tris,
+            max_leaf_size, compat)
+    else:
+        kernel = functools.partial(
+            _any_kernel, int(trav.nodes8.shape[0]), n_tris,
+            max_leaf_size, compat)
     (occ, iters), r = _call_kernel(
         kernel, 1, trav, o, d, t_max, mask,
         stack_depth=stack_depth, tile_size=tile_size, interpret=interpret,

@@ -96,11 +96,24 @@ class RenderConfig:
     # Morton position sort cut the flagship frame 232 -> 183 ms.
     sort_rays: bool = True
 
-    # Sort key: 'dir' = normal-octant-major (octant, |n|, position cell);
-    # 'pos' = position-major Morton (position cell bits interleaved,
-    # octant last) — rays from one region share near subtrees, so 'pos'
-    # can tighten packet unions more.  A/B knob ('pos' won round 4).
-    sort_key: str = "pos"
+    # Sort/compact only the first N bounces (unrolled loop; scan mode
+    # ignores this and sorts every bounce).  The permute itself costs
+    # ~10-14 ms/bounce at 512^2 (gather-wall bound) while deaths cluster
+    # by tile once a bounce has been sorted — later bounces keep most of
+    # the coherence for free.  Round-5 chip sweep (scripts/entry_ab.py,
+    # flagship 512^2 depth-4): smb=4 166 ms, 3 156, 2 151, 1 153 -> 2.
+    sort_max_bounce: int = 2
+
+    # Sort key: 'entry' = nearest-treelet-entry of the ACTUAL continuation
+    # ray (the sort sits right before the continuation traversal, so the
+    # sampled direction is available; key = argmin slab-entry over the
+    # ~256-512 treelet AABBs of accel/bricks.py::treelet_cut_aabbs, with
+    # the direction octant in the low bits).  'dir' = normal-octant-major
+    # (octant, |n|, position cell); 'pos' = position-major Morton.
+    # Round-5 chip sweep on realistic bounce rays (scripts/sort_exp.py):
+    # entry 9.1 ms vs pos 20.3 ms vs 5.6 ms coherent floor — 'entry' is
+    # the default; scenes without a treelet table fall back to 'pos'.
+    sort_key: str = "entry"
 
     # Bounce-loop construction.  'unroll' emits max_depth copies of the
     # bounce body (best steady-state code); 'scan' drives one compiled body
@@ -139,6 +152,17 @@ class RenderConfig:
     # Environment light. Constant-color env when the scene has no HDR map.
     env_scale: float = 1.0
 
+    # Emit the interaction fill (shading normal, uv, material/texture id)
+    # from the Mosaic traversal kernel at triangle-test time instead of a
+    # per-ray [T, 26] row gather afterwards (accel/traverse_pallas.py::
+    # closest_hit_pallas_attr) — the megakernel direction of
+    # ray_tracing.comp:861-992.  Live/trace paths only; the replay
+    # (gradient) path always re-derives attributes differentiably, and
+    # vertex-position gradients through the NON-replay path need this
+    # off (diff/grad.py forces it off there).  Falls back automatically
+    # when the scene + attribute rows exceed the SMEM budget.
+    kernel_interaction: bool = True
+
     # Trilinear mip-mapped texture sampling (ray-cone LOD).  None keeps
     # the reference's effective behavior: it BUILDS mipmaps
     # (main.cpp:541-546) but its compute-shader texture() has no
@@ -154,7 +178,7 @@ class RenderConfig:
             "wide", "packed", "pop", "packet", "wide4", "pallas"
         )
         assert self.mis in ("reference", "balanced")
-        assert self.sort_key in ("dir", "pos")
+        assert self.sort_key in ("dir", "pos", "entry")
         assert not (self.compat_pnrt and self.mis == "balanced"), (
             "compat mode implies the reference estimator"
         )

@@ -154,15 +154,27 @@ def cranley_patterson_rotation(
 
 
 def cranley_patterson_rotation_c(
-    su, sv, px: jnp.ndarray, py: jnp.ndarray, width: int, height: int
+    su, sv, px: jnp.ndarray, py: jnp.ndarray, width: int, height: int,
+    salt=0,
 ):
     """Component twin of :func:`cranley_patterson_rotation` — same
     arithmetic on two flat [R] (or scalar) sample coordinates, no [R, 2]
-    materialization (which lane-pads 64x on TPU)."""
+    materialization (which lane-pads 64x on TPU).
+
+    ``salt`` decorrelates reuse of the 8-dim Sobol table beyond depth 4:
+    ``sobol_vec2`` wraps its dimension pair at SOBOL_DIMS (matching the
+    reference's 8-dim literal, comp:508-510 — the reference never
+    exceeds depth 4, main.cpp:572), so bounces b and b+4 would otherwise
+    draw the IDENTICAL (dim, index) sample pair.  The integrator passes
+    ``salt = 2*bounce // SOBOL_DIMS``: zero for bounces 0-3 (bit-exact
+    reference behaviour preserved) and a fresh per-pixel toroidal shift
+    for each table reuse after that.  May be a Python int or traced
+    (scan-mode bounce counter)."""
     s = (
         px.astype(jnp.uint32) * jnp.uint32(width) * jnp.uint32(1973)
         + py.astype(jnp.uint32) * jnp.uint32(height) * jnp.uint32(9277)
         + jnp.uint32(114514 // 1919) * jnp.uint32(26699)
+        + jnp.asarray(salt, jnp.uint32) * jnp.uint32(0x9E3779B9)
     ) | jnp.uint32(1)
     s, u = rand01(s)
     _, v = rand01(s)

@@ -73,6 +73,7 @@ from pnraytracing_tpu.ops.envmap import (
 )
 from pnraytracing_tpu.ops.intersect import Hit, intersect_triangle_c
 from pnraytracing_tpu.ops.sampling import (
+    SOBOL_DIMS,
     cranley_patterson_rotation_c,
     pick_light,
     pixel_seed,
@@ -86,6 +87,8 @@ from pnraytracing_tpu.ops.compaction import (
     coherence_key_pos,
     compact_indices,
     sort_live_first,
+    treelet_entry_key,
+    treelet_entry_key_pallas,
 )
 from pnraytracing_tpu.ops.texture import fetch_base_color
 
@@ -524,7 +527,23 @@ def _render_rays(
         zero_r = jnp.zeros((r,), jnp.float32)
         zero_v = V3(zero_r, zero_r, zero_r)
 
-        # --- NEE: area-light sample (comp:878-909) ------------------------
+        # The bounce body runs in three phases (round 5):
+        #   1. DRAWS + WEIGHTS: every RNG draw and every pdf/BRDF weight
+        #      of the bounce, in the reference's stream order — pure math,
+        #      no traversal;
+        #   2. SORT: one live-first coherence permutation of the whole
+        #      path state (the continuation segment is known by now, so
+        #      the 'entry' key can use the ACTUAL ray);
+        #   3. QUERIES + CONTRIBUTIONS: the NEE any-hits and the
+        #      continuation closest-hit, ALL on the freshly compacted,
+        #      coherence-sorted order.
+        # Phase order changes nothing semantically (queries consume no
+        # RNG; contributions only need the occlusion masks late), but it
+        # lets every traversal of the bounce run fresh — the earlier
+        # end-of-bounce sort left the NEE queries of the NEXT bounce
+        # running with the previous deaths interleaved.
+
+        # --- phase 1a: NEE area-light draws (comp:878-909) -----------------
         seed, u_light = rand01(seed)
         l_direct = zero_v
         light_pdf = zero_r
@@ -536,10 +555,25 @@ def _render_rays(
             lp, ln = sample_light_point(mesh, light_tri, u1, u2,
                                         rows=irows)
             sdir = lp - pos  # unnormalized segment (comp:887)
-            s_origin = pos + nrm * 1e-4
             s_tmax = jnp.full((r,), 1.0 - SHADOW_EPS, jnp.float32)
+            dis2 = vdot(sdir, sdir)
+            lnorm = vnormalize(sdir)
+            cos_l = jnp.abs(vdot(ln, -lnorm))
+            raw_pdf = dis2 / jnp.maximum(cos_l * lights.total_area, 1e-12)
+            # material id per LIGHT SLOT: an L-way select per ray when the
+            # light list is small (zero gathers), one [R] gather otherwise
+            lmat_tbl = irows[lights.tri_index, 24].astype(jnp.int32)
+            lmat = (select_small(lmat_tbl, slot) if lights.count <= 32
+                    else lmat_tbl[slot])
+            li = _emissive_of(materials, lmat)
+            light_f = disney_eval_v(v_dir, nrm, lnorm, t_tan, b_tan, mat,
+                                    cdlin)
+            nl = jnp.abs(vdot(nrm, lnorm))
+            # contribution folded up to the occlusion mask (applied
+            # post-query)
+            l_direct_pre = light_f * li * (nl * _safe_inv(raw_pdf))
 
-        # --- NEE: environment sample (comp:911-926) ------------------------
+        # --- phase 1b: NEE environment draws (comp:911-926) ----------------
         l_env = zero_v
         env_pdf = zero_r
         if has_env:
@@ -548,14 +582,174 @@ def _render_rays(
             en_l, en_li, env_pdf_raw = sample_envmap_v(
                 scene.env, r1e, r2e, compat=compat
             )
+            env_f = disney_eval_v(v_dir, nrm, en_l, t_tan, b_tan, mat, cdlin)
+            l_env_pre = env_f * en_li * (
+                vdot(en_l, nrm) * _safe_inv(env_pdf_raw))
+
+        # --- phase 1c: BRDF sample (comp:928-934) --------------------------
+        if cfg.sampler == "sobol":
+            su, sv = sobol_vec2(frame + 1, bounce)
+            # salt decorrelates the 8-dim Sobol table's wrap at depth > 4
+            # (zero for bounces 0-3 — reference-exact); see
+            # cranley_patterson_rotation_c
+            r1, r2 = cranley_patterson_rotation_c(
+                su, sv, px_l, py_l, cfg.width, cfg.height,
+                salt=(2 * bounce) // SOBOL_DIMS,
+            )
+        else:
+            seed, r1 = rand01(seed)
+            seed, r2 = rand01(seed)
+        seed, r_lobe = rand01(seed)
+        # diffuse-lobe hemisphere draws: consumed from the stream only when
+        # the diffuse lobe is taken (SampleCosineHemisphere, comp:643)
+        s1 = wang_hash(seed)
+        u_d1 = s1.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+        s2 = wang_hash(s1)
+        u_d2 = s2.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
+        l_out, d_pdf, lobe = disney_sample_v(
+            v_dir, nrm, t_tan, b_tan, mat, r_lobe, r1, r2, u_d1, u_d2, compat=compat
+        )
+        seed = jnp.where(lobe == 0, s2, seed)
+
+        d_f = disney_eval_v(v_dir, nrm, l_out, t_tan, b_tan, mat, cdlin)
+        n_dot_l = jnp.abs(vdot(nrm, l_out))
+        weight = d_f * (n_dot_l * _safe_inv(d_pdf))
+        if cfg.mis == "balanced":
+            if has_lights:
+                p_b_light = jnp.maximum(
+                    disney_pdf_v(v_dir, nrm, lnorm, mat), 0.0
+                )
+            if has_env:
+                p_b_env = jnp.maximum(disney_pdf_v(v_dir, nrm, en_l, mat), 0.0)
+
+        # --- phase 2: coherence sort ---------------------------------------
+        # The whole path state (carry + the bounce's pre-folded weights)
+        # moves through ONE packed row gather; radiance is unscrambled at
+        # the end via ``orig``.  Pure permutation — value-exact; only
+        # whole-program FMA contraction differs between on/off variants.
+        # The permute's own cost is real (~10-14 ms/bounce at 512^2 —
+        # gather-wall bound, scripts/pack_width2.py), so (a) the pack is
+        # kept as narrow as possible (v_dir is NOT packed — the roll
+        # rewrites it as -l_out; texture columns only when the scene has
+        # textures), and (b) ``sort_max_bounce`` bounds how many bounces
+        # pay it: after a good sort, deaths cluster by tile, so later
+        # bounces keep most of the coherence for free (static gating —
+        # applies in the unrolled loop; scan mode sorts every bounce).
+        do_sort = cfg.compact_rays and not replay
+        if do_sort and static_bounce:
+            do_sort = bounce < cfg.sort_max_bounce
+        if do_sort:
+            if cfg.sort_rays and scene.trav is not None:
+                if (cfg.sort_key == "entry"
+                        and scene.trav.treelets is not None):
+                    # Mosaic key kernel on TPU; XLA broadcast elsewhere
+                    # (the interpreter would crawl through K iterations)
+                    key_f = (treelet_entry_key_pallas
+                             if jax.default_backend() == "tpu"
+                             else treelet_entry_key)
+                    key = key_f(pos + nrm * 1e-4, l_out,
+                                scene.trav.treelets)
+                else:
+                    root = scene.trav.nodes8[0]
+                    lo_b, hi_b = root[0:3], root[3:6]
+                    inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
+                    key_fn = (coherence_key_pos if cfg.sort_key != "dir"
+                              else coherence_key)
+                    key = key_fn(nrm, pos, lo_b, inv_ext)
+                perm, _ = sort_live_first(active, key)
+            else:
+                perm, _ = compact_indices(active)
+            f32 = lambda a: a.astype(jnp.float32)
+            cols = []
+            idx = {}
+
+            def _app(name, *arrs):
+                idx[name] = len(cols)
+                cols.extend(arrs)
+
+            _app("active", f32(active))
+            _app("pos", pos.x, pos.y, pos.z)
+            _app("nrm", nrm.x, nrm.y, nrm.z)
+            _app("mat", f32(mat_id))
+            if has_tex:
+                _app("uvtex", u_uv, v_uv, f32(tex_id))
+                if cfg.texture_lod_scale is not None:
+                    _app("path_t", path_t)
+            _app("c", c.x, c.y, c.z)
+            _app("lo", lo.x, lo.y, lo.z)
+            _app("seed", f32(seed & jnp.uint32(0xFFFF)),
+                 f32(seed >> jnp.uint32(16)))
+            _app("ids", f32(orig), f32(px_l), f32(py_l))
+            _app("l_out", l_out.x, l_out.y, l_out.z)
+            _app("weight", weight.x, weight.y, weight.z)
+            _app("d_pdf", d_pdf)
+            if has_lights:
+                _app("sdir", sdir.x, sdir.y, sdir.z)
+                _app("raw_pdf", raw_pdf)
+                _app("l_direct_pre",
+                     l_direct_pre.x, l_direct_pre.y, l_direct_pre.z)
+            if has_env:
+                _app("en_l", en_l.x, en_l.y, en_l.z)
+                _app("env_pdf_raw", env_pdf_raw)
+                _app("l_env_pre", l_env_pre.x, l_env_pre.y, l_env_pre.z)
+            if cfg.mis == "balanced":
+                if has_lights:
+                    _app("p_b_light", p_b_light)
+                if has_env:
+                    _app("p_b_env", p_b_env)
+            packed = jnp.stack(cols, axis=1)[perm]  # ONE row gather
+            col = lambda name, o=0: packed[:, idx[name] + o]
+            v3c = lambda name: V3(col(name), col(name, 1), col(name, 2))
+            active = col("active") > 0.5
+            pos = v3c("pos")
+            nrm = v3c("nrm")
+            mat_id = col("mat").astype(jnp.int32)
+            if has_tex:
+                u_uv, v_uv = col("uvtex"), col("uvtex", 1)
+                tex_id = col("uvtex", 2).astype(jnp.int32)
+                path_t = (col("path_t")
+                          if cfg.texture_lod_scale is not None else zero_r)
+            else:
+                # not packed: reset to order-independent constants so the
+                # carry stays lane-consistent (values are never read)
+                u_uv = v_uv = path_t = zero_r
+                tex_id = jnp.zeros((r,), jnp.int32)
+            c = v3c("c")
+            lo = v3c("lo")
+            seed = (
+                col("seed").astype(jnp.uint32)
+                | (col("seed", 1).astype(jnp.uint32) << jnp.uint32(16))
+            )
+            orig = col("ids").astype(jnp.int32)
+            # pixel coords are u32 < 2^24 (exact in f32)
+            px_l = col("ids", 1).astype(jnp.uint32)
+            py_l = col("ids", 2).astype(jnp.uint32)
+            l_out = v3c("l_out")
+            weight = v3c("weight")
+            d_pdf = col("d_pdf")
+            if has_lights:
+                sdir = v3c("sdir")
+                raw_pdf = col("raw_pdf")
+                l_direct_pre = v3c("l_direct_pre")
+            if has_env:
+                en_l = v3c("en_l")
+                env_pdf_raw = col("env_pdf_raw")
+                l_env_pre = v3c("l_env_pre")
+            if cfg.mis == "balanced":
+                if has_lights:
+                    p_b_light = col("p_b_light")
+                if has_env:
+                    p_b_env = col("p_b_env")
+
+        # --- phase 3: occlusion queries — replayed, fused (both NEE
+        # classes in ONE any-hit batch), or separate -------------------------
+        if has_lights:
+            s_origin = pos + nrm * 1e-4
+        if has_env:
             # reference offsets the env shadow ray origin by nothing
             # (comp:918); default adds the same normal epsilon as elsewhere.
             e_origin = pos if compat else pos + nrm * 1e-4
             facing = vdot(en_l, nrm) > 0
-
-        # --- occlusion queries: replayed, fused (both NEE classes in ONE
-        # any-hit batch — identical results, half the traversal dispatches
-        # per bounce), or separate -------------------------------------------
         fuse = cfg.fuse_shadows and has_lights and has_env and not replay
         rec_occ = jnp.zeros((r,), bool)  # placeholders keep the record
         rec_eocc = jnp.zeros((r,), bool)  # pytree static across modes
@@ -585,63 +779,14 @@ def _render_rays(
                 if record:
                     rec_eocc = rec_eocc.at[orig].set(e_occ)
 
-        # --- area-light contribution ---------------------------------------
+        # --- NEE contributions (masks applied to the pre-folded terms) -----
         if has_lights:
-            dis2 = vdot(sdir, sdir)
-            lnorm = vnormalize(sdir)
-            cos_l = jnp.abs(vdot(ln, -lnorm))
-            raw_pdf = dis2 / jnp.maximum(cos_l * lights.total_area, 1e-12)
             light_pdf = jnp.where(active & ~occluded, raw_pdf, 0.0)
-            # material id per LIGHT SLOT: an L-way select per ray when the
-            # light list is small (zero gathers), one [R] gather otherwise
-            # (hundreds of emissive tris would unroll a huge select chain)
-            lmat_tbl = irows[lights.tri_index, 24].astype(jnp.int32)
-            lmat = (select_small(lmat_tbl, slot) if lights.count <= 32
-                    else lmat_tbl[slot])
-            li = _emissive_of(materials, lmat)
-            light_f = disney_eval_v(v_dir, nrm, lnorm, t_tan, b_tan, mat,
-                                    cdlin)
-            nl = jnp.abs(vdot(nrm, lnorm))
-            l_direct = vwhere(
-                active & ~occluded,
-                light_f * li * (nl * _safe_inv(raw_pdf)),
-                zero_v,
-            )
-
-        # --- environment contribution ---------------------------------------
+            l_direct = vwhere(active & ~occluded, l_direct_pre, zero_v)
         if has_env:
             env_pdf = jnp.where(active, env_pdf_raw, 0.0)  # pdf always counted
             take = active & facing & ~e_occ
-            env_f = disney_eval_v(v_dir, nrm, en_l, t_tan, b_tan, mat, cdlin)
-            l_env = vwhere(
-                take,
-                env_f * en_li * (vdot(en_l, nrm) * _safe_inv(env_pdf_raw)),
-                zero_v,
-            )
-
-        # --- BRDF sample (comp:928-934) -----------------------------------
-        if cfg.sampler == "sobol":
-            su, sv = sobol_vec2(frame + 1, bounce)
-            r1, r2 = cranley_patterson_rotation_c(
-                su, sv, px_l, py_l, cfg.width, cfg.height
-            )
-        else:
-            seed, r1 = rand01(seed)
-            seed, r2 = rand01(seed)
-        seed, r_lobe = rand01(seed)
-        # diffuse-lobe hemisphere draws: consumed from the stream only when
-        # the diffuse lobe is taken (SampleCosineHemisphere, comp:643)
-        s1 = wang_hash(seed)
-        u_d1 = s1.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
-        s2 = wang_hash(s1)
-        u_d2 = s2.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
-        l_out, d_pdf, lobe = disney_sample_v(
-            v_dir, nrm, t_tan, b_tan, mat, r_lobe, r1, r2, u_d1, u_d2, compat=compat
-        )
-        seed = jnp.where(lobe == 0, s2, seed)
-
-        d_f = disney_eval_v(v_dir, nrm, l_out, t_tan, b_tan, mat, cdlin)
-        n_dot_l = jnp.abs(vdot(nrm, l_out))
+            l_env = vwhere(take, l_env_pre, zero_v)
 
         # --- MIS combine of the NEE estimators -----------------------------
         if cfg.mis == "reference":
@@ -657,13 +802,9 @@ def _render_rays(
             # against the BRDF strategy's pdf for the same direction
             nee = zero_v
             if has_lights:
-                p_b_light = jnp.maximum(
-                    disney_pdf_v(v_dir, nrm, lnorm, mat), 0.0
-                )
                 w_l = light_pdf / jnp.maximum(light_pdf + p_b_light, _EPS)
                 nee = nee + l_direct * w_l
             if has_env:
-                p_b_env = jnp.maximum(disney_pdf_v(v_dir, nrm, en_l, mat), 0.0)
                 w_e = env_pdf / jnp.maximum(env_pdf + p_b_env, _EPS)
                 nee = nee + l_env * w_e
 
@@ -686,7 +827,6 @@ def _render_rays(
                 rec_hit2 = jax.tree_util.tree_map(
                     lambda a: jnp.zeros_like(a).at[orig].set(a), hit2
                 )
-        weight = d_f * (n_dot_l * _safe_inv(d_pdf))
 
         # miss: environment radiance through the BRDF sample (comp:956-963)
         miss_now = active & ~hit2.valid
@@ -727,7 +867,10 @@ def _render_rays(
         # throughput update and state roll (comp:968-969)
         c = vwhere(hit_now, c * weight, c)
         path_t = jnp.where(hit_now, path_t + hit2.t, path_t)
-        v_dir = vwhere(hit_now, -l_out, v_dir)
+        # unconditional: only lanes with hit_now stay active, and v_dir is
+        # not packed through the coherence permute (dead lanes' view
+        # vector is never read) — -l_out is correct for every live lane
+        v_dir = -l_out
         pos = vwhere(hit_now, pos2, pos)
         nrm = vwhere(hit_now, nrm2, nrm)
         u_uv = jnp.where(hit_now, u_uv2, u_uv)
@@ -750,72 +893,6 @@ def _render_rays(
                 c = vwhere(gate & active & survive, c / p_survive, c)
                 active = active & (survive | ~gate)
                 seed = jnp.where(gate, seed2, seed)
-
-        # pack live rays to the front so dead tiles drain instantly in the
-        # tiled traversal of the next bounce (pure permutation — RNG seed
-        # and pixel ids travel with the ray, radiance is unscrambled at
-        # the end); skipped after the last bounce
-        if cfg.compact_rays and not replay:
-            is_last = bounce >= cfg.max_depth - 1
-            if not (static_bounce and is_last):
-                if cfg.sort_rays and scene.trav is not None:
-                    # group live rays by (normal octant, position cell) so
-                    # each traversal tile of the next bounce sees coherent
-                    # rays
-                    root = scene.trav.nodes8[0]
-                    lo_b, hi_b = root[0:3], root[3:6]
-                    inv_ext = 1.0 / jnp.maximum(hi_b - lo_b, 1e-6)
-                    key_fn = (coherence_key_pos if cfg.sort_key == "pos"
-                              else coherence_key)
-                    perm, _ = sort_live_first(
-                        active, key_fn(nrm, pos, lo_b, inv_ext)
-                    )
-                else:
-                    perm, _ = compact_indices(active)
-                if not static_bounce:
-                    perm = jnp.where(is_last, arange_r, perm)
-                # Permute the whole carry through ONE wide-row gather:
-                # 25 [R] columns packed to [R, 32] move in a single
-                # gather pass instead of 25 separate ones (measured
-                # ~90 ms/bounce for per-array permutes at 512^2 — the
-                # round-4 stage profile's dominant cost).  Ids are exact
-                # small-int floats; the u32 seed splits into two 16-bit
-                # halves to stay exact in f32.
-                f32 = lambda a: a.astype(jnp.float32)
-                seed_lo = f32(seed & jnp.uint32(0xFFFF))
-                seed_hi = f32(seed >> jnp.uint32(16))
-                cols = [
-                    f32(active),
-                    pos.x, pos.y, pos.z,
-                    nrm.x, nrm.y, nrm.z,
-                    u_uv, v_uv,
-                    f32(mat_id), f32(tex_id),
-                    v_dir.x, v_dir.y, v_dir.z,
-                    c.x, c.y, c.z,
-                    lo.x, lo.y, lo.z,
-                    seed_lo, seed_hi,
-                    f32(orig), f32(px_l), f32(py_l), path_t,
-                ]
-                packed = jnp.stack(cols, axis=1)[perm]  # [R, n_cols] row gather
-                col = lambda k: packed[:, k]
-                i32c = lambda k: col(k).astype(jnp.int32)
-                active = col(0) > 0.5
-                pos = V3(col(1), col(2), col(3))
-                nrm = V3(col(4), col(5), col(6))
-                u_uv, v_uv = col(7), col(8)
-                mat_id, tex_id = i32c(9), i32c(10)
-                v_dir = V3(col(11), col(12), col(13))
-                c = V3(col(14), col(15), col(16))
-                lo = V3(col(17), col(18), col(19))
-                seed = (
-                    col(20).astype(jnp.uint32)
-                    | (col(21).astype(jnp.uint32) << jnp.uint32(16))
-                )
-                orig = i32c(22)
-                # pixel coords are u32 < 2^24 (exact in f32)
-                px_l = col(23).astype(jnp.uint32)
-                py_l = col(24).astype(jnp.uint32)
-                path_t = col(25)
 
         carry = (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
                  c, lo, orig, px_l, py_l, path_t)

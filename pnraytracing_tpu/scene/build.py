@@ -223,6 +223,17 @@ class SceneBuilder:
             and len(indices) <= MAX_PACKED_TRIS
         ):
             trav = pack_traversal_data(bvh, mesh)
+            from pnraytracing_tpu.accel.bricks import treelet_cut_aabbs
+            from pnraytracing_tpu.accel.layout import (
+                pack_tri_attr16,
+                pack_wide_nodes_compact,
+            )
+
+            trav = trav.replace(
+                treelets=jnp.asarray(treelet_cut_aabbs(built)),
+                nodes16c=jnp.asarray(pack_wide_nodes_compact(built)),
+                tri_attr16=pack_tri_attr16(mesh),
+            )
             if max_count <= 4:
                 import os as _os
 

@@ -138,3 +138,42 @@ def test_fast_trig_accuracy():
     got = np.asarray(fast_asin(jnp.asarray(d[:, 1])))
     want = np.arcsin(np.clip(d[:, 1], -1, 1))
     assert np.abs(got - want).max() < 3e-6
+
+
+def test_sobol_wrap_decorrelated_by_salt():
+    """Bounces b and b+4 reuse the same Sobol (dim, index) pair (the
+    8-dim table wraps); the bounce-salted Cranley-Patterson rotation must
+    decorrelate them — and stay bit-exact for bounces 0-3 (salt 0)."""
+    from pnraytracing_tpu.ops.sampling import (
+        SOBOL_DIMS,
+        cranley_patterson_rotation_c,
+        sobol_vec2,
+    )
+
+    frame = jnp.uint32(7)
+    px = jnp.arange(1024, dtype=jnp.uint32) % 512
+    py = jnp.arange(1024, dtype=jnp.uint32) // 512
+
+    def bounce_samples(b):
+        su, sv = sobol_vec2(frame, b)
+        return cranley_patterson_rotation_c(
+            su, sv, px, py, 512, 512, salt=(2 * b) // SOBOL_DIMS
+        )
+
+    u0, v0 = bounce_samples(0)
+    u4, v4 = bounce_samples(4)
+    # raw table values identical (the wrap)...
+    su0, sv0 = sobol_vec2(frame, 0)
+    su4, sv4 = sobol_vec2(frame, 4)
+    assert float(su0) == float(su4) and float(sv0) == float(sv4)
+    # ...but the salted rotation must separate the final samples
+    assert not np.allclose(np.asarray(u0), np.asarray(u4))
+    assert not np.allclose(np.asarray(v0), np.asarray(v4))
+    # per-pixel decorrelation: the (u0, u4) pairs should not be a
+    # constant offset of each other across pixels
+    du = (np.asarray(u4) - np.asarray(u0)) % 1.0
+    assert du.std() > 0.05
+    # salt=0 path unchanged: bounces 0-3 use the unsalted rotation
+    un, vn = cranley_patterson_rotation_c(su0, sv0, px, py, 512, 512)
+    np.testing.assert_array_equal(np.asarray(u0), np.asarray(un))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(vn))
