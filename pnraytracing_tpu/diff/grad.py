@@ -155,7 +155,17 @@ def render_image_from_params(
     cfg: RenderConfig,
 ) -> jnp.ndarray:
     """[R, 3] radiance with ``params`` grafted in — the differentiable
-    forward pass."""
+    forward pass.
+
+    Forces ``kernel_interaction`` OFF: the attribute-emitting Mosaic
+    kernel returns stop-gradient'd interaction values, which would
+    silently zero the vertex/normal/uv gradients this path exists to
+    provide; make_interaction's differentiable re-derivation is required
+    here (the trace/replay path gets the fast kernel in its trace phase
+    instead)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, kernel_interaction=False)
     return render_rays(apply_params(scene, params), o, d, px, py, frame, cfg)
 
 

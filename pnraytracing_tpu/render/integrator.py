@@ -338,6 +338,7 @@ def _render_rays(
     # Traversal dispatch: the packed layout (one row-gather per node visit /
     # triangle test) when the scene carries it, generic otherwise.
     component_native = False  # backend consumes V3 components directly
+    kattr_ok = False  # closest-hit kernel can emit the interaction fill
     if scene.trav is not None:
         packed_kw = dict(trace_kw, tile_size=cfg.trav_tile)
         use_wide = cfg.traversal == "wide" and scene.trav.nodes16 is not None
@@ -360,6 +361,12 @@ def _render_rays(
                 packed_kw["interpret"] = jax.default_backend() != "tpu"
                 _closest_fn, _occluded_fn = closest_hit_pallas, any_hit_pallas
                 component_native = True
+                kattr_ok = (
+                    cfg.kernel_interaction
+                    and not replay
+                    and scene.trav.tri_attr16 is not None
+                    and scene_fits_smem(scene.trav, "wide_attr")
+                )
             elif scene.trav.stream is not None:
                 # scene exceeds SMEM: brick-paged streaming Mosaic kernel
                 from pnraytracing_tpu.accel.traverse_stream import (
@@ -468,8 +475,46 @@ def _render_rays(
     o_v = V3.of(o)
     d_v = V3.of(d)
 
+    def _closest_inter(o_, d_, tm_, mask_=None):
+        """Closest hit + interaction fill in one step.
+
+        With the attribute-emitting Mosaic kernel (kattr_ok), the fill
+        arrives from the kernel itself — triangle attributes are SMEM
+        scalars at test time, so the per-ray [T, 26] row gather and its
+        interpolation disappear; only the backface flip, normalize and
+        hit-position reconstruction remain here.  Otherwise: the plain
+        closest kernel + make_interaction (the replay path always takes
+        that branch — it re-derives attributes differentiably)."""
+        if kattr_ok:
+            from pnraytracing_tpu.accel.layout import ATTR_TEX_BASE
+            from pnraytracing_tpu.accel.traverse_pallas import (
+                closest_hit_pallas_attr,
+            )
+
+            kw2 = {k: v for k, v in packed_kw.items() if k != "variant"}
+            hit_, attrs = _stop_gradient_trace(
+                closest_hit_pallas_attr, scene.trav, o_, d_, tm_, mask_,
+                **kw2,
+            )
+            nx, ny, nz, u_, v_, mt = attrs
+            nrm_raw = V3(nx, ny, nz)
+            nrm_ = vnormalize(
+                vwhere(vdot(nrm_raw, d_) > 0, -nrm_raw, nrm_raw)
+            )
+            pos_ = o_ + d_ * hit_.t
+            return (hit_, pos_, nrm_, (u_, v_), mt // ATTR_TEX_BASE,
+                    mt % ATTR_TEX_BASE - 1)
+        hit_ = _closest_v(o_, d_, tm_, mask_)
+        return (hit_,) + make_interaction(mesh, hit_, d_, o_, rows=irows)
+
     # ---- primary hit (comp:983) -----------------------------------------
-    hit = records.primary if replay else _closest_v(o_v, d_v, t_max0)
+    if replay:
+        hit = records.primary
+        p_pos, p_nrm, p_uv, p_mat, p_tex = make_interaction(
+            mesh, hit, d_v, o_v, rows=irows)
+    else:
+        hit, p_pos, p_nrm, p_uv, p_mat, p_tex = _closest_inter(
+            o_v, d_v, t_max0)
     primary_hit = hit.valid
     rec_primary = hit  # original order: no compaction has happened yet
 
@@ -820,8 +865,11 @@ def _render_rays(
         if replay:
             hit2 = brec[2]
             rec_hit2 = hit2
+            pos2, nrm2, (u_uv2, v_uv2), mat_id2, tex_id2 = make_interaction(
+                mesh, hit2, l_out, b_origin, rows=irows)
         else:
-            hit2 = _closest_v(b_origin, l_out, t_max0, active)
+            (hit2, pos2, nrm2, (u_uv2, v_uv2), mat_id2, tex_id2) = (
+                _closest_inter(b_origin, l_out, t_max0, active))
             rec_hit2 = hit2
             if record:
                 rec_hit2 = jax.tree_util.tree_map(
@@ -841,8 +889,6 @@ def _render_rays(
         )
 
         # hit: emissive pickup (comp:966)
-        pos2, nrm2, (u_uv2, v_uv2), mat_id2, tex_id2 = make_interaction(
-            mesh, hit2, l_out, b_origin, rows=irows)
         hit_now = active & hit2.valid
         emissive2 = _emissive_of(materials, mat_id2)
         if cfg.mis == "balanced" and has_lights:
@@ -900,8 +946,8 @@ def _render_rays(
         return carry, out_rec
 
     active = primary_hit
-    pos, nrm, (u_uv, v_uv), mat_id, tex_id = make_interaction(
-        mesh, hit, d_v, o_v, rows=irows)
+    pos, nrm, (u_uv, v_uv), mat_id, tex_id = (
+        p_pos, p_nrm, p_uv, p_mat, p_tex)
     # primary emissive pickup (comp:986) from the mat ids just fetched —
     # the compose step below would otherwise re-gather the [T, 26] table
     primary_emissive = _emissive_of(materials, mat_id)
