@@ -319,6 +319,29 @@ def adam_optimize(
     emit = log_fn or (lambda line: print(line, flush=True))
     rays_per_sample = cfg.num_pixels * (1 + 3 * cfg.max_depth)
     t_prev = _time.perf_counter()
+
+    # One jitted, DONATING update step: optimizer state and parameters
+    # are updated in place (no per-step reallocation of the [H, W, 3]
+    # env texel grid + adam moments at config-5 scale), and the whole
+    # update chain (mask, adam, projections) is one dispatch.  XLA
+    # verifies the aliasing contract at compile time — the
+    # donation/aliasing assert SURVEY §5's race-detection row asks for.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _update(opt_state_, params_, grads_):
+        if grad_mask is not None:
+            grads_ = jax.tree_util.tree_map(
+                lambda g, m: g * m, grads_, grad_mask
+            )
+        updates, opt_state_ = opt.update(grads_, opt_state_, params_)
+        params_ = optax.apply_updates(params_, updates)
+        # project back into the physical domain (clips also stop the
+        # forward-side sanitization from zeroing gradients forever)
+        if "materials" in params_:
+            params_["materials"] = params_["materials"].sanitized()
+        if "env_image" in params_:
+            params_["env_image"] = jnp.maximum(params_["env_image"], 0.0)
+        return opt_state_, params_
+
     for step in range(steps):
         loss, grads = grad_fn(
             params, scene, o, d, px, py,
@@ -326,18 +349,7 @@ def adam_optimize(
             target, cfg,
             spp=spp_per_step, dual=resample,
         )
-        if grad_mask is not None:
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g * m, grads, grad_mask
-            )
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        # project back into the physical domain (clips also stop the
-        # forward-side sanitization from zeroing gradients forever)
-        if "materials" in params:
-            params["materials"] = params["materials"].sanitized()
-        if "env_image" in params:
-            params["env_image"] = jnp.maximum(params["env_image"], 0.0)
+        opt_state, params = _update(opt_state, params, grads)
         if "positions" in params:
             # finite motion invalidates the template's BVH/trav: keep
             # traversal consistent with the optimized geometry (array

@@ -135,3 +135,13 @@ class AccumState:
 
     def resolve(self) -> jnp.ndarray:
         return self.total / jnp.maximum(self.count, 1).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def accum_add(acc: AccumState, sample_image: jnp.ndarray) -> AccumState:
+    """Donating accumulation step: the previous ``total`` buffer is
+    reused in place — progressive rendering at 2048^2 otherwise
+    reallocates a 50 MB [H, W, 3] sum every frame (SURVEY §5's
+    aliasing/donation row; XLA checks the aliasing contract at compile
+    time, the analogue of a race/aliasing assert)."""
+    return acc.add(sample_image)

@@ -28,7 +28,11 @@ import numpy as np
 from pnraytracing_tpu.core.camera import CameraState
 from pnraytracing_tpu.core.config import RenderConfig
 from pnraytracing_tpu.core.types import Scene
-from pnraytracing_tpu.render.renderer import AccumState, render_frame
+from pnraytracing_tpu.render.renderer import (
+    AccumState,
+    accum_add,
+    render_frame,
+)
 
 
 @dataclasses.dataclass
@@ -99,7 +103,8 @@ class RenderSession:
         if self.interacting:
             self.interacting = False  # next step resumes converged mode
             return img
-        self.accum = self.accum.add(img)
+        # donating step: the previous accumulation buffer is reused
+        self.accum = accum_add(self.accum, img)
         return self.accum.resolve()
 
     def converge(self, spp: int) -> jnp.ndarray:

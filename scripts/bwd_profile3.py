@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Decompose the fwd+bwd bench step (trace/replay gradients) on the
-chip: trace phase, replay forward, and grad-of-replay — fetch-bounded.
-The bench step = trace_paths + value_and_grad(replay-MSE)."""
+"""Round-5 backward knockouts: which parameter family costs the
+grad(replay) pass — materials or env texels?  Plus standalone VJP
+timings of the env-gradient scatter structure.  Fetch-bounded."""
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -14,8 +15,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pnraytracing_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,13 +26,11 @@ def log(*a):
 
 
 def timed(name, fn, *args, n=6, fetch=None):
-    import jax.numpy as _jnp
-
     def scalar_of(out):
         leaf = (jax.tree_util.tree_leaves(out)[0] if fetch is None
                 else fetch(out))
         if getattr(leaf, "ndim", 0):
-            leaf = _jnp.sum(leaf.astype(_jnp.float32))
+            leaf = jnp.sum(leaf.astype(jnp.float32))
         return leaf
 
     out = fn(*args)
@@ -42,8 +39,7 @@ def timed(name, fn, *args, n=6, fetch=None):
     for _ in range(n):
         out = fn(*args)
     np.asarray(scalar_of(out))
-    dt = (time.perf_counter() - t0) / n
-    log(f"{name:32s}: {dt*1e3:8.2f} ms")
+    log(f"{name:32s}: {(time.perf_counter()-t0)/n*1e3:8.2f} ms")
     return out
 
 
@@ -51,12 +47,8 @@ def main():
     log("devices:", jax.devices())
     from pnraytracing_tpu.core.camera import camera_rays
     from pnraytracing_tpu.core.config import RenderConfig
-    from pnraytracing_tpu.diff.grad import (
-        apply_params,
-        extract_params,
-    )
+    from pnraytracing_tpu.diff.grad import apply_params, extract_params
     from pnraytracing_tpu.render.integrator import (
-        render_rays,
         render_rays_replay,
         trace_paths,
     )
@@ -73,48 +65,16 @@ def main():
     o, d, _ = camera_rays(camera, cfg.width, cfg.height)
     frame = jnp.uint32(0)
     target = jnp.zeros((cfg.num_pixels, 3), jnp.float32)
-    params = extract_params(scene, ("materials", "env_image"))
 
-    timed("live fwd frame", functools.partial(
-        render_rays, scene, o, d, px, py, frame, cfg),
-        fetch=lambda x: x)
+    recs = trace_paths(scene, o, d, px, py, frame, cfg)
+    jax.block_until_ready(recs.primary.t)
+    log("trace done")
 
-    recs = timed("trace_paths", functools.partial(
-        trace_paths, scene, o, d, px, py, frame, cfg),
-        fetch=lambda r: r.primary.t)
-
-    timed("replay fwd", functools.partial(
-        render_rays_replay, scene, o, d, px, py, frame, cfg, recs),
-        fetch=lambda x: x)
-
-    @jax.jit
-    def grad_step(p, rec):
-        def f(pp):
-            img = render_rays_replay(
-                apply_params(scene, pp), o, d, px, py, frame, cfg, rec)
-            return jnp.mean((img - target) ** 2)
-
-        return jax.value_and_grad(f)(p)
-
-    timed("grad(replay) no-ckpt", grad_step, params, recs,
-          fetch=lambda t: t[0])
-
-    @jax.jit
-    def grad_step_ck(p, rec):
-        @jax.checkpoint
-        def f(pp):
-            img = render_rays_replay(
-                apply_params(scene, pp), o, d, px, py, frame, cfg, rec)
-            return jnp.mean((img - target) ** 2)
-
-        return jax.value_and_grad(f)(p)
-
-    timed("grad(replay) ckpt", grad_step_ck, params, recs,
-          fetch=lambda t: t[0])
-
-    # ---- knockouts: which parameter family costs the backward? --------
-    for label, keys in [("grad materials only", ("materials",)),
-                        ("grad env only", ("env_image",))]:
+    for label, keys in [
+        ("grad mats+env (bench step)", ("materials", "env_image")),
+        ("grad materials only", ("materials",)),
+        ("grad env only", ("env_image",)),
+    ]:
         p_k = extract_params(scene, keys)
 
         @jax.jit
@@ -128,8 +88,7 @@ def main():
 
         timed(label, grad_k, p_k, recs, fetch=lambda t: t[0])
 
-    # env-gradient structure: time ONE bilinear-lookup VJP and one
-    # alias-row VJP standalone to see the scatter-add cost directly
+    # standalone env VJP structure costs
     from pnraytracing_tpu.core.vec import V3
     from pnraytracing_tpu.ops.envmap import envmap_lookup_v
 
