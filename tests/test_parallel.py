@@ -141,3 +141,56 @@ def test_dp_gradients_with_padding(setup):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_bitwise_production_shape(setup):
+    """Round-5 hardening (VERDICT r4 #6): the PRODUCTION integrator shape
+    — 256^2, depth 4, traversal='packet' (the Mosaic kernel's algorithm
+    twin), packed-carry compaction + coherence sort ON — must be BITWISE
+    identical sharded over the 8-device mesh vs single-device."""
+    scene, *_ = setup
+    cfg = RenderConfig(width=256, height=256, max_depth=4,
+                       traversal="packet", loop="scan",
+                       compact_rays=True, sort_rays=True)
+    cam = make_camera((3.5, 3.0, 3.5), (0, 0.8, 0), (0, 1, 0), 45.0, 1.0)
+    px, py = pixel_coords(cfg)
+    o, d, _ = camera_rays(cam, cfg.width, cfg.height)
+    mesh = make_device_mesh(8)
+    sharded = np.asarray(
+        shard_render_rays(scene, o, d, px, py, 0, cfg, mesh)
+    )
+    single = np.asarray(render_rays(scene, o, d, px, py, 0, cfg))
+    np.testing.assert_array_equal(sharded, single)
+
+
+@pytest.mark.slow
+def test_sharded_multistep_training_loop(setup):
+    """Multi-step sharded training: 3 dp_train_step iterations (render ->
+    pmean'd grads -> adam) must run and strictly reduce the loss."""
+    import optax
+
+    from pnraytracing_tpu.parallel.mesh import dp_train_step
+
+    scene, o, d, px, py = setup
+    mesh = make_device_mesh(8)
+    cfg = RenderConfig(width=16, height=16, max_depth=2, sampler="hash",
+                       clamp_radiance=False, traversal="packet")
+    # target = render with brighter emissive; optimize materials toward it
+    bright = scene.replace(
+        materials=scene.materials.replace(
+            emissive=scene.materials.emissive * 1.5))
+    target = render_rays(bright, o, d, px, py, 0, cfg)
+    params = extract_params(scene, ("materials",))
+    optimizer = __import__("optax").adam(5e-2)
+    opt_state = optimizer.init(params)
+    losses = []
+    for step in range(3):
+        params, opt_state, loss = dp_train_step(
+            params, opt_state, optimizer, scene,
+            o, d, px, py, jnp.uint32(0), target, cfg, mesh,
+            use_replay=True,
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
