@@ -535,7 +535,7 @@ def _render_rays(
     # compile time are O(1) in depth — required for deep-bounce configs).
     arange_r = jnp.arange(r, dtype=jnp.int32)
 
-    def bounce_body(carry, bounce, brec):
+    def bounce_body(carry, bounce, brec, allow_sort=True):
         (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
          orig, px_l, py_l, path_t) = carry
         static_bounce = isinstance(bounce, int)
@@ -680,7 +680,7 @@ def _render_rays(
         # pay it: after a good sort, deaths cluster by tile, so later
         # bounces keep most of the coherence for free (static gating —
         # applies in the unrolled loop; scan mode sorts every bounce).
-        do_sort = cfg.compact_rays and not replay
+        do_sort = cfg.compact_rays and not replay and allow_sort
         if do_sort and static_bounce:
             do_sort = bounce < cfg.sort_max_bounce
         if do_sort:
@@ -961,22 +961,57 @@ def _render_rays(
     )
 
     if cfg.loop == "scan":
-        bidx = jnp.arange(cfg.max_depth, dtype=jnp.int32)
-        if replay:
-            dummy = jnp.zeros((cfg.max_depth, r), bool)
-            brec_xs = (
-                records.light_occ if has_lights else dummy,
-                records.env_occ if has_env else dummy,
-                records.bounce,
-            )
-            carry, ys = jax.lax.scan(
-                lambda cy, x: bounce_body(cy, x[0], x[1]), carry,
-                (bidx, brec_xs),
-            )
-        else:
-            carry, ys = jax.lax.scan(
-                lambda cy, b: bounce_body(cy, b, None), carry, bidx
-            )
+        # The coherence-sorted bounces (bounce < sort_max_bounce) run as
+        # an UNROLLED prologue — the per-bounce permute is static, so
+        # deep-bounce scan configs (config 5: depth 8) pay the ~10-14 ms
+        # permute only sort_max_bounce times, not depth times — then ONE
+        # scanned body covers the remaining depth (compile stays O(1) in
+        # depth beyond the small prologue).
+        n_pro = (min(cfg.sort_max_bounce, cfg.max_depth)
+                 if (cfg.compact_rays and not replay) else 0)
+        ys_pro = []
+        for b in range(n_pro):
+            brec = None
+            if replay:
+                brec = (
+                    records.light_occ[b] if has_lights else None,
+                    records.env_occ[b] if has_env else None,
+                    jax.tree_util.tree_map(lambda a: a[b], records.bounce),
+                )
+            carry, y = bounce_body(carry, b, brec)
+            ys_pro.append(y)
+        n_rest = cfg.max_depth - n_pro
+        ys = None
+        if n_rest > 0:
+            bidx = jnp.arange(n_pro, cfg.max_depth, dtype=jnp.int32)
+            if replay:
+                dummy = jnp.zeros((cfg.max_depth, r), bool)
+                brec_xs = jax.tree_util.tree_map(
+                    lambda a: a[n_pro:],
+                    (records.light_occ if has_lights else dummy,
+                     records.env_occ if has_env else dummy,
+                     records.bounce),
+                )
+                carry, ys = jax.lax.scan(
+                    lambda cy, x: bounce_body(cy, x[0], x[1],
+                                              allow_sort=False),
+                    carry, (bidx, brec_xs),
+                )
+            else:
+                carry, ys = jax.lax.scan(
+                    lambda cy, b: bounce_body(cy, b, None,
+                                              allow_sort=False),
+                    carry, bidx,
+                )
+        if record:
+            if ys_pro and ys is not None:
+                pro = jax.tree_util.tree_map(lambda *x: jnp.stack(x),
+                                             *ys_pro)
+                ys = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]), pro, ys)
+            elif ys_pro:
+                ys = jax.tree_util.tree_map(lambda *x: jnp.stack(x),
+                                            *ys_pro)
     else:
         ys_list = []
         for b in range(cfg.max_depth):
