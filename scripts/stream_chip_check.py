@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--big", action="store_true",
                     help="also time a 2048^2 closest-hit query + frame")
     ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--smb", type=int, default=None,
+                    help="sort_max_bounce override for the --render frame "
+                    "(streaming scenes: brick re-paging dwarfs the "
+                    "permute, so sorting MORE bounces can pay here)")
     args = ap.parse_args()
 
     log("devices:", jax.devices())
@@ -114,7 +118,9 @@ def main():
 
         cfg = RenderConfig(width=args.size, height=args.size,
                            max_depth=args.depth, traversal="pallas",
-                           loop="scan")
+                           loop="scan",
+                           **({} if args.smb is None
+                              else {"sort_max_bounce": args.smb}))
         camera = cam_state.basis()
         f_frame = jax.jit(lambda fr: render_average(scene, camera, cfg,
                                                     fr, 1))
