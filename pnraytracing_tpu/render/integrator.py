@@ -878,15 +878,30 @@ def _render_rays(
 
         # miss: environment radiance through the BRDF sample (comp:956-963)
         miss_now = active & ~hit2.valid
-        env_li_out = env_radiance(l_out)
         if cfg.mis == "balanced" and has_env:
             p_e_out = envmap_pdf_v(scene.env, l_out)
             w_b_env = d_pdf / jnp.maximum(d_pdf + p_e_out, _EPS)
         else:
             w_b_env = 1.0
-        lo = lo + clamp_contrib(
-            vwhere(miss_now, c * env_li_out * weight * w_b_env, zero_v)
-        )
+        env_out = jnp.int32(0)
+        if replay and has_env:
+            # Replay (the gradient graph): DEFER the env radiance lookup.
+            # Each in-loop lookup's VJP is a full scatter-add pass into
+            # the texel grid (~78 ms of the env backward was these,
+            # scripts/bwd_profile4.py); emitting (direction, coefficient)
+            # per bounce and looking ALL of them up in ONE batched pass
+            # after the loop keeps the same rows but 1 scatter pass.
+            # Radiance sums in a different (per-term) order — within the
+            # replay ulp-equivalence budget; replay skips permutes, so
+            # lane order is original and the post-loop add is aligned.
+            mcoef = vwhere(miss_now, c * weight * w_b_env, zero_v)
+            env_out = (l_out.x, l_out.y, l_out.z,
+                       mcoef.x, mcoef.y, mcoef.z)
+        else:
+            env_li_out = env_radiance(l_out)
+            lo = lo + clamp_contrib(
+                vwhere(miss_now, c * env_li_out * weight * w_b_env, zero_v)
+            )
 
         # hit: emissive pickup (comp:966)
         hit_now = active & hit2.valid
@@ -942,7 +957,8 @@ def _render_rays(
 
         carry = (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir,
                  c, lo, orig, px_l, py_l, path_t)
-        out_rec = (rec_occ, rec_eocc, rec_hit2) if record else jnp.int32(0)
+        out_rec = ((rec_occ, rec_eocc, rec_hit2) if record
+                   else env_out)  # replay: deferred env terms (or int 0)
         return carry, out_rec
 
     active = primary_hit
@@ -1026,11 +1042,28 @@ def _render_rays(
             ys_list.append(y)
         ys = (
             jax.tree_util.tree_map(lambda *x: jnp.stack(x), *ys_list)
-            if record else None
+            if (record or (replay and has_env)) else None
         )
 
     (seed, active, pos, nrm, u_uv, v_uv, mat_id, tex_id, v_dir, c, lo,
      orig, px_l, py_l, path_t) = carry
+
+    if replay and has_env:
+        # the deferred per-bounce miss-env terms: ONE batched radiance
+        # lookup over all [max_depth * R] directions (one scatter pass
+        # in the backward instead of max_depth) — see bounce_body
+        dx_, dy_, dz_, mx_, my_, mz_ = ys
+        li = env_radiance(V3(dx_.reshape(-1), dy_.reshape(-1),
+                             dz_.reshape(-1)))
+        b_ = cfg.max_depth
+        cx = li.x.reshape(b_, -1) * mx_
+        cy = li.y.reshape(b_, -1) * my_
+        cz = li.z.reshape(b_, -1) * mz_
+        if cfg.max_radiance is not None:
+            cx = jnp.minimum(cx, cfg.max_radiance)
+            cy = jnp.minimum(cy, cfg.max_radiance)
+            cz = jnp.minimum(cz, cfg.max_radiance)
+        lo = lo + V3(cx.sum(0), cy.sum(0), cz.sum(0))
 
     # restore original ray order after compaction permutations
     lo = lo.map(lambda a: jnp.zeros_like(a).at[orig].set(a))

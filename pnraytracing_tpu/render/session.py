@@ -51,8 +51,10 @@ class RenderSession:
         self.camera = camera
         self.cfg = cfg
         # fast preview config: 1 bounce, like the reference's interactive
-        # mode (main.cpp:593-596)
-        self.preview_cfg = dataclasses.replace(cfg, max_depth=preview_depth)
+        # mode (main.cpp:593-596).  The coherence sort is a latency tax
+        # at preview depth (one bounce, mostly-coherent rays): off.
+        self.preview_cfg = dataclasses.replace(
+            cfg, max_depth=preview_depth, compact_rays=False)
         self.accum = AccumState.create(cfg)
         self.interacting = False
         self.stats = SessionStats()

@@ -146,3 +146,64 @@ def test_any_hit_pallas_wide_variant():
         trav, o, d, short, tile_size=128, interpret=True, variant="wide"
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attr_kernel_matches_make_interaction():
+    """closest_hit_pallas_attr: hits bit-match the plain wide kernel and
+    the emitted interaction equals make_interaction (normal to 1 ulp of
+    interp order, uv/material/texture exact)."""
+    from pnraytracing_tpu.accel.layout import ATTR_TEX_BASE
+    from pnraytracing_tpu.accel.traverse_pallas import (
+        closest_hit_pallas_attr,
+        pick_variant,
+    )
+    from pnraytracing_tpu.core.camera import camera_rays, make_camera
+    from pnraytracing_tpu.core.vec import V3
+    from pnraytracing_tpu.render.integrator import (
+        make_interaction,
+        pack_interaction_rows,
+    )
+    from pnraytracing_tpu.scene import shapes
+    from pnraytracing_tpu.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    b.add(shapes.icosphere(2, radius=1.0),
+          dict(base_color=(0.7, 0.3, 0.2), roughness=0.4), name="ball")
+    b.add(shapes.quad(half=4.0), dict(base_color=(0.6, 0.6, 0.6)),
+          name="floor")
+    scene = b.build(env_constant=(0.2, 0.2, 0.2))
+    trav = scene.trav
+    assert pick_variant(trav, "wide_attr") == "wide_attr"
+    cam = make_camera((0, 1.5, 4), (0, 0, 0), (0, 1, 0), 50.0, 1.0)
+    o, d, _ = camera_rays(cam, 32, 32)
+    t_max = jnp.full((o.shape[0],), 1e7, jnp.float32)
+
+    hit0 = closest_hit_pallas(trav, o, d, t_max, tile_size=128,
+                              interpret=True)
+    hit1, attrs = closest_hit_pallas_attr(trav, o, d, t_max,
+                                          tile_size=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit0.tri), np.asarray(hit1.tri))
+    np.testing.assert_array_equal(np.asarray(hit0.t), np.asarray(hit1.t))
+
+    irows = pack_interaction_rows(scene.mesh)
+    _, nrm, (uu, vv), mat_id, tex_id = make_interaction(
+        scene.mesh, hit1, V3.of(d), V3.of(o), rows=irows)
+    nx, ny, nz, u, v, mt = attrs
+    m = np.asarray(hit1.tri) >= 0
+    assert m.any()
+    np.testing.assert_array_equal(
+        (np.asarray(mt) // ATTR_TEX_BASE)[m], np.asarray(mat_id)[m])
+    np.testing.assert_array_equal(
+        (np.asarray(mt) % ATTR_TEX_BASE - 1)[m], np.asarray(tex_id)[m])
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(uu)[m],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v)[m], np.asarray(vv)[m],
+                               atol=1e-6)
+    dn = np.asarray(d)
+    raw = np.stack([np.asarray(nx), np.asarray(ny), np.asarray(nz)], 1)
+    flip = (raw * dn).sum(1) > 0
+    nn = np.where(flip[:, None], -raw, raw)
+    nn /= np.maximum(np.linalg.norm(nn, axis=1, keepdims=True), 1e-20)
+    want = np.stack([np.asarray(nrm.x), np.asarray(nrm.y),
+                     np.asarray(nrm.z)], 1)
+    np.testing.assert_allclose(nn[m], want[m], atol=1e-5)
