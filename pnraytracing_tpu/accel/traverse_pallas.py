@@ -45,6 +45,7 @@ from pnraytracing_tpu.ops.intersect import (
     intersect_aabb_c,
     intersect_triangle_c,
     triangle_setup_c,
+    triangle_setup_static,
 )
 
 # The flat scene array must fit Mosaic's scalar memory alongside stacks
@@ -146,6 +147,7 @@ def _closest_kernel(
     max_leaf_size: int,
     compat: bool,
     dsign_ref,
+    axinfo_ref,
     scene_ref,
     rays_ref,
     t_ref,
@@ -234,6 +236,7 @@ def _any_kernel(
     max_leaf_size: int,
     compat: bool,
     dsign_ref,
+    axinfo_ref,
     scene_ref,
     rays_ref,
     occ_ref,
@@ -318,12 +321,29 @@ def _wide_row(scene_ref, row):
     return lmin, lmax, rmin, rmax, left_info, right_info, axis
 
 
+def _leaf_setups(compat, dx, dy, dz, tri_setup):
+    """The general watertight setup + the three statically-permuted
+    twins (triangle_setup_static).  A tile whose rays all share the
+    dominant axis (axinfo >= 0 — most tiles after the coherence sort
+    groups by direction octant) takes the static branch, where the
+    permutation's ~18 per-test vector selects fold to rewiring.
+    Bit-identical results: live lanes' per-ray permutation equals the
+    static one on uniform tiles; dead/padded lanes may see NaN t (their
+    wins are masked)."""
+    if compat:
+        return [tri_setup]
+    return [tri_setup] + [
+        triangle_setup_static(ax, dx, dy, dz) for ax in range(3)
+    ]
+
+
 def _closest_kernel_wide(
     tri_base: int,
     n_tris: int,
     max_leaf_size: int,
     compat: bool,
     dsign_ref,
+    axinfo_ref,
     scene_ref,
     rays_ref,
     t_ref,
@@ -344,6 +364,8 @@ def _closest_kernel_wide(
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
     tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
+    setups = _leaf_setups(compat, dx, dy, dz, tri_setup)
+    ax_branch = (jnp.int32(0) if compat else axinfo_ref[tile] + 1)
 
     # stack entries are child infos; seed with the root's internal row
     stack_ref[0] = 0
@@ -367,14 +389,14 @@ def _closest_kernel_wide(
             # per slot instead (count is a kernel scalar, so this is a
             # cheap scalar branch; k=0 is guarded too — synthetic empty
             # leaves have count 0)
-            def test_k(k, carry):
+            def test_k(k, setup, carry):
                 t_b, tri_b, b1_b, b2_b = carry
                 ti = start + k
                 ti_c = jnp.minimum(ti, n_tris - 1)
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, t, b1, b2 = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_b, compat=compat,
-                    setup=tri_setup,
+                    setup=setup,
                 )
                 win = active & tri_hit & (t < t_b)
                 return (
@@ -384,11 +406,24 @@ def _closest_kernel_wide(
                     jnp.where(win, b2, b2_b),
                 )
 
+            def tests_with(setup):
+                def run(carry):
+                    for k in range(max_leaf_size):
+                        carry = jax.lax.cond(
+                            k < count,
+                            functools.partial(test_k, k, setup),
+                            lambda c: c, carry,
+                        )
+                    return carry
+
+                return run
+
             carry = (t_best, tri_best, b1_best, b2_best)
-            for k in range(max_leaf_size):
-                carry = jax.lax.cond(
-                    k < count, functools.partial(test_k, k),
-                    lambda c: c, carry,
+            if compat:
+                carry = tests_with(tri_setup)(carry)
+            else:
+                carry = jax.lax.switch(
+                    ax_branch, [tests_with(s) for s in setups], carry
                 )
             t_b, tri_b, b1_b, b2_b = carry
             z = jnp.int32(0)
@@ -457,6 +492,7 @@ def _closest_kernel_wide_attr(
     max_leaf_size: int,
     compat: bool,
     dsign_ref,
+    axinfo_ref,
     scene_ref,
     rays_ref,
     t_ref,
@@ -489,6 +525,8 @@ def _closest_kernel_wide_attr(
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
     tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
+    setups = _leaf_setups(compat, dx, dy, dz, tri_setup)
+    ax_branch = (jnp.int32(0) if compat else axinfo_ref[tile] + 1)
 
     stack_ref[0] = 0
     top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
@@ -506,7 +544,7 @@ def _closest_kernel_wide_attr(
             start = meta // 16
             count = meta % 16
 
-            def test_k(k, carry):
+            def test_k(k, setup, carry):
                 (t_b, tri_b, b1_c, b2_c, nx_c, ny_c, nz_c, u_c, v_c,
                  mt_c) = carry
                 ti = start + k
@@ -514,7 +552,7 @@ def _closest_kernel_wide_attr(
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, t, b1, b2 = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_b, compat=compat,
-                    setup=tri_setup,
+                    setup=setup,
                 )
                 win = active & tri_hit & (t < t_b)
                 ab = attr_base + ti_c * 16
@@ -545,12 +583,25 @@ def _closest_kernel_wide_attr(
                     jnp.where(win, mt, mt_c),
                 )
 
+            def tests_with(setup):
+                def run(carry):
+                    for k in range(max_leaf_size):
+                        carry = jax.lax.cond(
+                            k < count,
+                            functools.partial(test_k, k, setup),
+                            lambda cc: cc, carry,
+                        )
+                    return carry
+
+                return run
+
             carry = (t_best, tri_best, b1_best, b2_best,
                      nx_b, ny_b, nz_b, u_b, v_b, mt_b)
-            for k in range(max_leaf_size):
-                carry = jax.lax.cond(
-                    k < count, functools.partial(test_k, k),
-                    lambda cc: cc, carry,
+            if compat:
+                carry = tests_with(tri_setup)(carry)
+            else:
+                carry = jax.lax.switch(
+                    ax_branch, [tests_with(s) for s in setups], carry
                 )
             z = jnp.int32(0)
             return carry + (z, z, z, z)
@@ -620,6 +671,7 @@ def _any_kernel_wide(
     max_leaf_size: int,
     compat: bool,
     dsign_ref,
+    axinfo_ref,
     scene_ref,
     rays_ref,
     occ_ref,
@@ -632,6 +684,8 @@ def _any_kernel_wide(
     inv_dy = _safe_inv_c(dy)
     inv_dz = _safe_inv_c(dz)
     tri_setup = triangle_setup_c(dx, dy, dz, compat=compat)
+    setups = _leaf_setups(compat, dx, dy, dz, tri_setup)
+    ax_branch = (jnp.int32(0) if compat else axinfo_ref[tile] + 1)
 
     stack_ref[0] = 0
     top0 = jnp.where(jnp.any(active), jnp.int32(1), jnp.int32(0))
@@ -648,21 +702,32 @@ def _any_kernel_wide(
             start = meta // 16
             count = meta % 16
 
-            def test_k(k, new_occ):
+            def test_k(k, setup, new_occ):
                 ti = start + k
                 ti_c = jnp.minimum(ti, n_tris - 1)
                 v0, v1, v2 = _tri_scalars(scene_ref, tri_base, ti_c)
                 tri_hit, _, _, _ = intersect_triangle_c(
                     v0, v1, v2, ox, oy, oz, dx, dy, dz, t_max, compat=compat,
-                    setup=tri_setup,
+                    setup=setup,
                 )
                 return jnp.where(pending & tri_hit, jnp.int32(1), new_occ)
 
-            new_occ = occ
-            for k in range(max_leaf_size):
-                new_occ = jax.lax.cond(
-                    k < count, functools.partial(test_k, k),
-                    lambda c: c, new_occ,
+            def tests_with(setup):
+                def run(new_occ):
+                    for k in range(max_leaf_size):
+                        new_occ = jax.lax.cond(
+                            k < count, functools.partial(test_k, k, setup),
+                            lambda c: c, new_occ,
+                        )
+                    return new_occ
+
+                return run
+
+            if compat:
+                new_occ = tests_with(tri_setup)(occ)
+            else:
+                new_occ = jax.lax.switch(
+                    ax_branch, [tests_with(s) for s in setups], occ
                 )
             z = jnp.int32(0)
             return new_occ, z, z, z, z
@@ -757,7 +822,26 @@ def _pack_inputs(trav, o, d, t_max, mask, tile_size):
         axis=1,
     )
     dsign = jnp.where(dsign < 0, -1, 1).astype(jnp.int32).reshape(-1)
-    return None, dsign, rays, n_tiles, sub, pad
+
+    # per-tile dominant-axis uniformity: the coherence sort groups rays
+    # by direction octant, so most tiles share argmax |d| — those tiles
+    # take the statically-permuted watertight path (lax.switch in the
+    # leaf branch; triangle_setup_static).  Same argmax tie-breaking as
+    # triangle_setup_c; padded/inactive lanes inherit a live ray's axis
+    # so they can't break uniformity (their results are masked anyway).
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    kz = jnp.where(
+        adx >= ady,
+        jnp.where(adx >= adz, 0, 2),
+        jnp.where(ady >= adz, 1, 2),
+    ).astype(jnp.int32)
+    kz_t = kz.reshape(n_tiles, tile)
+    act_t = act.reshape(n_tiles, tile)
+    kz_live = jnp.where(act_t, kz_t, -1)
+    kz0 = jnp.max(kz_live, axis=1)  # axis of SOME live ray (-1: none)
+    uniform = jnp.all((kz_t == kz0[:, None]) | ~act_t, axis=1)
+    axinfo = jnp.where(uniform & (kz0 >= 0), kz0, -1).astype(jnp.int32)
+    return None, dsign, axinfo, rays, n_tiles, sub, pad
 
 
 def _scene_flat(trav: TravData, variant: str):
@@ -792,12 +876,12 @@ def _call_kernel(
     stack_depth, tile_size, interpret, variant,
 ):
     r = _ray_comps(o)[0].shape[0]
-    _, dsign, rays, n_tiles, sub, pad = _pack_inputs(
+    _, dsign, axinfo, rays, n_tiles, sub, pad = _pack_inputs(
         trav, o, d, t_max, mask, tile_size
     )
     scene = _scene_flat(trav, variant)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(
@@ -830,7 +914,7 @@ def _call_kernel(
         ) + (jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(dsign, scene, rays)
+    )(dsign, axinfo, scene, rays)
     return outs, r
 
 

@@ -400,7 +400,7 @@ def _call_stream(mode, stream: StreamData, o, d, t_max, mask, *,
     from pnraytracing_tpu.accel.traverse_pallas import _ray_comps
 
     r = _ray_comps(o)[0].shape[0]
-    _, dsign, rays, n_tiles, sub, pad = _pack_inputs(
+    _, dsign, _axinfo, rays, n_tiles, sub, pad = _pack_inputs(
         None, o, d, t_max, mask, tile_size
     )
     top_flat = stream.top16.reshape(-1)

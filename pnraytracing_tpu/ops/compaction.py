@@ -167,6 +167,10 @@ def treelet_entry_key(o, d, treelets: jnp.ndarray) -> jnp.ndarray:
         + (dy > 0).astype(jnp.uint32) * 2
         + (dz > 0).astype(jnp.uint32)
     )
+    # NOTE: adding the dominant axis to the key (best_k*32 + kz*8 + oct)
+    # was A/B'd on chip and LOST (2.46e7 -> 2.29e7 rays/s): splitting
+    # each treelet group by axis fragments the binning, and the union
+    # growth outweighs the statically-permuted leaf path it enables.
     return best_k * 8 + oct_
 
 
@@ -235,7 +239,7 @@ def treelet_entry_key_pallas(o, d, treelets: jnp.ndarray,
         key_ref[0] = best_k * 8 + oct_
 
     r = (o.x if hasattr(o, "x") else o[:, 0]).shape[0]
-    _, dsign, rays, n_tiles, sub, pad = _pack_inputs(
+    _, dsign, _axinfo, rays, n_tiles, sub, pad = _pack_inputs(
         None, o, d, jnp.float32(1.0), None, tile_size
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
