@@ -11,9 +11,12 @@ Scope: `Objects/Geometry` meshes — `Vertices`, `PolygonVertexIndex`
 `LayerElementNormal` / `LayerElementUV` with the common mapping modes
 (`ByPolygonVertex`, `ByVertice`/`ByVertex`, with `Direct` or
 `IndexToDirect` referencing) — plus per-model local transforms
-(`Lcl Translation/Rotation/Scaling`, rotation applied XYZ order) wired to
-geometries through the `Connections` section.  Skins, animation, embedded
-media and ASCII FBX are out of scope.
+(the FULL pivot chain: `Lcl Translation/Rotation/Scaling`,
+`PreRotation`/`PostRotation`, rotation/scaling pivots + offsets, and the
+`RotationOrder` property — the FBX SDK composition assimp evaluates)
+wired to geometries through the `Connections` section.  ASCII FBX files
+parse through the same document model (`_parse_ascii`).  Skins,
+animation and embedded media are out of scope.
 
 Polygons are fan-triangulated like the OBJ/PLY paths (assimp's
 aiProcess_Triangulate).  Returns `(mesh_dict, material_dict, None, name,
@@ -114,7 +117,9 @@ def _read_node(buf, off, long_offsets):
 
 def _parse(buf: bytes) -> tuple[list[_Node], int]:
     if buf[: len(_MAGIC)] != _MAGIC:
-        raise ValueError("not a binary FBX file (ASCII FBX is unsupported)")
+        # ASCII FBX: same document model, text syntax (assimp reads
+        # both; model.hpp:25)
+        return _parse_ascii(buf.decode("utf-8", "replace")), 0
     (version,) = struct.unpack_from("<I", buf, 23)
     long_offsets = version >= 7500
     off = 27
@@ -125,6 +130,93 @@ def _parse(buf: bytes) -> tuple[list[_Node], int]:
             break
         roots.append(node)
     return roots, version
+
+
+_ASCII_TOKEN = None  # compiled lazily
+
+
+def _ascii_tokens(text: str):
+    import re
+
+    global _ASCII_TOKEN
+    if _ASCII_TOKEN is None:
+        _ASCII_TOKEN = re.compile(
+            r'"(?:[^"\\]|\\.)*"'      # quoted string
+            r"|[A-Za-z_][A-Za-z0-9_]*\s*:"  # node/property name
+            r"|\{|\}|,"
+            r"|\*\d+"                  # array-length marker
+            r"|[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?"  # number
+            r"|[A-Za-z_][A-Za-z0-9_|]*"  # bare word (enums like Y, W)
+        )
+    for line in text.splitlines():
+        body = line.split(";", 1)[0]  # ';' starts a comment
+        for m in _ASCII_TOKEN.finditer(body):
+            yield m.group(0)
+
+
+def _parse_ascii(text: str) -> list[_Node]:
+    """ASCII FBX (7.x) -> the same ``_Node`` tree as the binary parser.
+
+    Grammar: ``Name: v, v, ... {  children  }``; FBX 7 arrays appear as
+    ``Name: *N { a: n,n,... }`` and are collapsed to a single numpy
+    array property, matching the binary form so ``_geometry_mesh`` and
+    ``_props70`` work unchanged."""
+    toks = list(_ascii_tokens(text))
+    pos = 0
+
+    def parse_value(tok):
+        if tok.startswith('"'):
+            return tok[1:-1]
+        try:
+            if any(c in tok for c in ".eE") and not tok.lstrip("+-")[:1].isalpha():
+                return float(tok)
+            return int(tok)
+        except ValueError:
+            return tok  # bare word (enum)
+
+    def parse_nodes(depth=0):
+        nonlocal pos
+        nodes = []
+        while pos < len(toks):
+            tok = toks[pos]
+            if tok == "}":
+                pos += 1
+                return nodes
+            if not tok.endswith(":"):
+                pos += 1  # stray token — skip defensively
+                continue
+            name = tok[:-1].strip()
+            pos += 1
+            props = []
+            arr_len = None
+            while pos < len(toks):
+                t = toks[pos]
+                if t == ",":
+                    pos += 1
+                    continue
+                if t == "{" or t == "}" or t.endswith(":"):
+                    break
+                if t.startswith("*"):
+                    arr_len = int(t[1:])
+                    pos += 1
+                    continue
+                props.append(parse_value(t))
+                pos += 1
+            node = _Node(name, props)
+            if pos < len(toks) and toks[pos] == "{":
+                pos += 1
+                node.children = parse_nodes(depth + 1)
+            if arr_len is not None:
+                # collapse the `a:` child into one array property
+                a = node.first("a")
+                vals = a.props if a is not None else node.props
+                arr = np.asarray(vals, np.float64)
+                node.props = [arr]
+                node.children = []
+            nodes.append(node)
+        return nodes
+
+    return parse_nodes()
 
 
 def _layer_values(geom, layer_name, value_name, index_name, n_corners,
@@ -232,30 +324,78 @@ def _props70(node) -> dict:
     return out
 
 
-def _model_transform(model) -> np.ndarray:
-    p = _props70(model)
+def _rot_axis(axis: int, a: float) -> np.ndarray:
+    c, s = np.cos(a), np.sin(a)
+    r = np.eye(4)
+    i, j = [(1, 2), (0, 2), (0, 1)][axis]
+    r[i, i] = c
+    r[j, j] = c
+    r[i, j] = -s if axis != 1 else s
+    r[j, i] = s if axis != 1 else -s
+    return r
+
+
+# RotationOrder enum -> application order (first-applied first); the
+# matrix product is last-applied @ ... @ first-applied
+_ROT_ORDERS = {
+    0: (0, 1, 2),  # eOrderXYZ (default)
+    1: (0, 2, 1),  # eOrderXZY
+    2: (1, 2, 0),  # eOrderYZX
+    3: (1, 0, 2),  # eOrderYXZ
+    4: (2, 0, 1),  # eOrderZXY
+    5: (2, 1, 0),  # eOrderZYX
+}
+
+
+def _euler(p, key, order=(0, 1, 2)) -> np.ndarray:
+    if key not in p:
+        return np.eye(4)
+    ang = np.radians(np.asarray(p[key], np.float64))
     m = np.eye(4)
-    if "Lcl Scaling" in p:
-        m = np.diag(list(np.asarray(p["Lcl Scaling"], np.float64)) + [1.0]) @ m
-    if "Lcl Rotation" in p:
-        rx, ry, rz = np.radians(np.asarray(p["Lcl Rotation"], np.float64))
-
-        def rot(axis, a):
-            c, s = np.cos(a), np.sin(a)
-            r = np.eye(4)
-            i, j = [(1, 2), (0, 2), (0, 1)][axis]
-            r[i, i] = c
-            r[j, j] = c
-            r[i, j] = -s if axis != 1 else s
-            r[j, i] = s if axis != 1 else -s
-            return r
-
-        m = rot(2, rz) @ rot(1, ry) @ rot(0, rx) @ m
-    if "Lcl Translation" in p:
-        t = np.eye(4)
-        t[:3, 3] = np.asarray(p["Lcl Translation"], np.float64)
-        m = t @ m
+    for axis in order:  # first-applied first -> left-multiply
+        m = _rot_axis(axis, ang[axis]) @ m
     return m
+
+
+def _trans(vec) -> np.ndarray:
+    t = np.eye(4)
+    t[:3, 3] = np.asarray(vec, np.float64)
+    return t
+
+
+def _model_transform(model) -> np.ndarray:
+    """Full FBX local-transform chain (the FBX SDK's documented
+    "Transformation" composition — what assimp evaluates for the
+    reference, model.hpp:25):
+
+      L = T * Roff * Rp * Rpre * R * Rpost^-1 * Rp^-1
+            * Soff * Sp * S * Sp^-1
+
+    with rotation/scaling PIVOTS and OFFSETS, PRE/POST rotations (both
+    always XYZ order per the SDK) and the RotationOrder property for
+    the Lcl Rotation itself.  Files without pivot properties reduce to
+    the plain T*R*S of round 2."""
+    p = _props70(model)
+    order = _ROT_ORDERS.get(
+        int(np.asarray(p.get("RotationOrder", [0]))[0]), (0, 1, 2)
+    )
+
+    t = _trans(p.get("Lcl Translation", (0.0, 0.0, 0.0)))
+    r_off = _trans(p.get("RotationOffset", (0.0, 0.0, 0.0)))
+    r_p = _trans(p.get("RotationPivot", (0.0, 0.0, 0.0)))
+    r_pre = _euler(p, "PreRotation")  # always XYZ
+    r = _euler(p, "Lcl Rotation", order)
+    r_post_inv = np.linalg.inv(_euler(p, "PostRotation"))
+    r_p_inv = np.linalg.inv(r_p)
+    s_off = _trans(p.get("ScalingOffset", (0.0, 0.0, 0.0)))
+    s_p = _trans(p.get("ScalingPivot", (0.0, 0.0, 0.0)))
+    s = np.diag(
+        list(np.asarray(p.get("Lcl Scaling", (1.0, 1.0, 1.0)),
+                        np.float64)) + [1.0]
+    )
+    s_p_inv = np.linalg.inv(s_p)
+    return (t @ r_off @ r_p @ r_pre @ r @ r_post_inv @ r_p_inv
+            @ s_off @ s_p @ s @ s_p_inv)
 
 
 def load_fbx(path: str):
@@ -300,18 +440,25 @@ def load_fbx(path: str):
                 return world_of(par, depth + 1) @ local
         return local
 
+    def clean(n):
+        # binary: "name\x00\x01Class"; ascii: "Class::name"
+        n = n.split("\x00")[0]
+        if "::" in n:
+            n = n.split("::", 1)[1]
+        return n
+
     out = []
     for gid, (mesh, node) in geoms.items():
         name = "geometry"
         if len(node.props) >= 2 and isinstance(node.props[1], str):
-            name = node.props[1].split("\x00")[0] or name
+            name = clean(node.props[1]) or name
         transform = np.eye(4)
         for par in parents.get(gid, []):
             if par in models:
                 transform = world_of(par)
                 mdl_name = models[par].props[1] if len(models[par].props) > 1 else ""
                 if isinstance(mdl_name, str) and mdl_name:
-                    name = mdl_name.split("\x00")[0] or name
+                    name = clean(mdl_name) or name
                 break
         out.append((mesh, {}, None, name, transform))
     return out

@@ -195,3 +195,97 @@ def test_fbx_builder(tmp_path):
     scene = b.build(env_constant=(0.1, 0.1, 0.1))
     pos = np.asarray(scene.mesh.positions)
     assert pos[:, 1].min() >= 5.0 - 1e-6  # transform baked
+
+
+ASCII_FBX = """
+; ASCII FBX 7.3 — hand-written test document
+FBXHeaderExtension:  {
+    FBXVersion: 7300
+}
+Objects:  {
+    Geometry: 1001, "Geometry::quad", "Mesh" {
+        Vertices: *12 {
+            a: 0,0,0, 1,0,0, 1,1,0, 0,1,0
+        }
+        PolygonVertexIndex: *4 {
+            a: 0,1,2,-4
+        }
+        LayerElementNormal: 0 {
+            MappingInformationType: "ByPolygonVertex"
+            ReferenceInformationType: "Direct"
+            Normals: *12 {
+                a: 0,0,1, 0,0,1, 0,0,1, 0,0,1
+            }
+        }
+    }
+    Model: 2002, "Model::quadmodel", "Mesh" {
+        Properties70:  {
+            P: "Lcl Translation", "Lcl Translation", "", "A", 2, 0, 0
+        }
+    }
+}
+Connections:  {
+    C: "OO", 1001, 2002
+}
+"""
+
+
+def test_fbx_ascii_matches_binary(tmp_path):
+    """The ASCII parser must produce the same mesh + transform as the
+    binary writer's equivalent document."""
+    bpath = tmp_path / "quad_bin.fbx"
+    _write_fbx(str(bpath), translation=(2.0, 0.0, 0.0))
+    apath = tmp_path / "quad_ascii.fbx"
+    apath.write_text(ASCII_FBX)
+
+    (mesh_b, _, _, _, tf_b), = load_fbx(str(bpath))
+    (mesh_a, _, _, name_a, tf_a), = load_fbx(str(apath))
+    np.testing.assert_allclose(mesh_a["positions"], mesh_b["positions"])
+    np.testing.assert_allclose(mesh_a["normals"], mesh_b["normals"])
+    np.testing.assert_array_equal(mesh_a["indices"], mesh_b["indices"])
+    np.testing.assert_allclose(tf_a, tf_b)
+    assert name_a == "quadmodel"
+
+
+def _pivot_ascii(props: str) -> str:
+    return ASCII_FBX.replace(
+        'P: "Lcl Translation", "Lcl Translation", "", "A", 2, 0, 0',
+        props,
+    )
+
+
+def test_fbx_pivot_chain(tmp_path):
+    """PreRotation + RotationPivot compose per the FBX SDK chain:
+    L = T*Roff*Rp*Rpre*R*Rpost^-1*Rp^-1*Soff*Sp*S*Sp^-1."""
+    path = tmp_path / "pivot.fbx"
+    path.write_text(_pivot_ascii(
+        'P: "RotationPivot", "Vector3D", "", "A", 1, 0, 0\n'
+        'P: "PreRotation", "Vector3D", "", "A", 0, 0, 90\n'
+    ))
+    (_, _, _, _, tf), = load_fbx(str(path))
+    # point at the pivot stays fixed
+    np.testing.assert_allclose(tf @ [1, 0, 0, 1], [1, 0, 0, 1], atol=1e-12)
+    # +90 deg about z around pivot (1,0,0): origin -> (1,-1,0)... check:
+    # Rz(90): (x,y)->(-y,x); relative (-1,0)->(0,-1) + pivot = (1,-1)
+    np.testing.assert_allclose(tf @ [0, 0, 0, 1], [1, -1, 0, 1],
+                               atol=1e-12)
+
+    # RotationOrder: ZYX vs default XYZ differ for a compound rotation
+    p_xyz = _pivot_ascii(
+        'P: "Lcl Rotation", "Lcl Rotation", "", "A", 90, 90, 0\n')
+    p_zyx = _pivot_ascii(
+        'P: "Lcl Rotation", "Lcl Rotation", "", "A", 90, 90, 0\n'
+        'P: "RotationOrder", "enum", "", "A", 5\n')
+    f1 = tmp_path / "xyz.fbx"
+    f1.write_text(p_xyz)
+    f2 = tmp_path / "zyx.fbx"
+    f2.write_text(p_zyx)
+    (_, _, _, _, t_xyz), = load_fbx(str(f1))
+    (_, _, _, _, t_zyx), = load_fbx(str(f2))
+    # XYZ: v=(0,0,1): Rx(90): (0,-1,0); Ry(90): (0,-1,0); => (0,-1,0)
+    np.testing.assert_allclose(t_xyz @ [0, 0, 1, 1], [0, -1, 0, 1],
+                               atol=1e-12)
+    # ZYX: Ry(90) first? no: ZYX applies z first, then y, then x:
+    # v=(0,0,1): Rz: (0,0,1); Ry(90): (1,0,0); Rx(90): (1,0,0)
+    np.testing.assert_allclose(t_zyx @ [0, 0, 1, 1], [1, 0, 0, 1],
+                               atol=1e-12)
