@@ -83,3 +83,32 @@ def test_coherence_key_in_range_and_groups_octants():
     # most-significant bits are the normal octant
     oct_ = (n[:, 0] > 0) * 4 + (n[:, 1] > 0) * 2 + (n[:, 2] > 0)
     np.testing.assert_array_equal(key >> 12, oct_.astype(np.uint32))
+
+
+def test_treelet_entry_key_pallas_matches_xla():
+    """The Mosaic key kernel and the XLA broadcast form must agree on
+    the binning (identical arithmetic; ties may break differently, so a
+    tiny disagreement fraction is tolerated)."""
+    import numpy as np
+
+    from pnraytracing_tpu.ops.compaction import (
+        treelet_entry_key,
+        treelet_entry_key_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    k = 37
+    lo = rng.uniform(-4, 2, size=(k, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.2, 2.0, size=(k, 3)).astype(np.float32)
+    treelets = jnp.asarray(np.concatenate([lo, hi], axis=1))
+    n = 1024
+    o = jnp.asarray(rng.uniform(-5, 5, size=(n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+
+    kx = np.asarray(treelet_entry_key(o, d, treelets))
+    kp = np.asarray(treelet_entry_key_pallas(o, d, treelets,
+                                             tile_size=128))
+    agree = (kx == kp).mean()
+    assert agree > 0.99, f"only {agree:.3%} of keys agree"
